@@ -1,0 +1,45 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh with 64-bit floats enabled so that
+numerical parity assertions against the reference semantics are exact; the
+same code paths run in float32 on real TPU devices (see bench.py).
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def time_axis():
+    from rscm_tpu.core.time_axis import TimeAxis
+
+    return TimeAxis.from_values(np.arange(2020.0, 2025.0, 1.0))
+
+
+@pytest.fixture
+def timeseries(time_axis):
+    from rscm_tpu.core.interpolate import LinearSpline
+    from rscm_tpu.core.timeseries import Timeseries
+    from rscm_tpu.core.spatial import ScalarGrid
+
+    return Timeseries(
+        np.asarray([1.0, 2.0, 3.0, 4.0, 5.0]),
+        time_axis,
+        ScalarGrid(),
+        "GtC",
+        LinearSpline(False),
+    )
