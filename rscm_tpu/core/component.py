@@ -1,0 +1,496 @@
+"""
+Component abstraction: requirement declarations + typed I/O + solve.
+
+Mirrors two reference surfaces at once:
+
+- the Rust ``Component`` trait + ``#[derive(ComponentIO)]`` macro
+  (``crates/rscm-core/src/component.rs:351-437``,
+  ``crates/rscm-macros/src/lib.rs``): declarative inputs/outputs/states with
+  name/unit/grid metadata, generated ``Inputs``/``Outputs`` classes and
+  ``definitions()``;
+- the typed Python component API (``python/rscm/component.py:115-563``):
+  ``Input``/``Output``/``State`` class descriptors + a metaclass generating
+  the same machinery, with a component registry for doc generation.
+
+TPU-native addition: components declare their **parameters** via
+:func:`Parameter` descriptors (or by overriding ``param_pytree``).  The
+model program passes parameters in as traced pytree leaves, so a single
+compiled program serves any parameter values — ``vmap`` over a stacked
+parameter pytree runs ensembles, and gradients flow through ``solve``.
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass
+from enum import Enum
+from typing import Any, ClassVar, Dict, Optional
+
+from .spatial import GridType
+from .state import FourBoxSlice, HemisphericSlice, StateValue
+
+__all__ = [
+    "RequirementType",
+    "RequirementDefinition",
+    "Input",
+    "Output",
+    "State",
+    "Parameter",
+    "Component",
+    "ComponentMeta",
+    "OutputState",
+    "SolveContext",
+]
+
+
+class RequirementType(Enum):
+    Input = "Input"
+    Output = "Output"
+    State = "State"
+    EmptyLink = "EmptyLink"
+
+
+@dataclass(eq=True)
+class RequirementDefinition:
+    """A named variable requirement with unit and grid.
+
+    Mirror of ``component.rs:85-165`` including the convenience
+    constructors.
+    """
+
+    name: str
+    unit: str
+    requirement_type: RequirementType
+    grid_type: GridType = GridType.Scalar
+
+    def __hash__(self):
+        return hash((self.name, self.unit, self.requirement_type, self.grid_type))
+
+    @staticmethod
+    def scalar_input(name, unit):
+        return RequirementDefinition(name, unit, RequirementType.Input)
+
+    @staticmethod
+    def scalar_output(name, unit):
+        return RequirementDefinition(name, unit, RequirementType.Output)
+
+    @staticmethod
+    def scalar_state(name, unit):
+        return RequirementDefinition(name, unit, RequirementType.State)
+
+    @staticmethod
+    def four_box_input(name, unit):
+        return RequirementDefinition(name, unit, RequirementType.Input, GridType.FourBox)
+
+    @staticmethod
+    def four_box_output(name, unit):
+        return RequirementDefinition(name, unit, RequirementType.Output, GridType.FourBox)
+
+    @staticmethod
+    def four_box_state(name, unit):
+        return RequirementDefinition(name, unit, RequirementType.State, GridType.FourBox)
+
+    @staticmethod
+    def hemispheric_input(name, unit):
+        return RequirementDefinition(name, unit, RequirementType.Input, GridType.Hemispheric)
+
+    @staticmethod
+    def hemispheric_output(name, unit):
+        return RequirementDefinition(name, unit, RequirementType.Output, GridType.Hemispheric)
+
+    @staticmethod
+    def hemispheric_state(name, unit):
+        return RequirementDefinition(name, unit, RequirementType.State, GridType.Hemispheric)
+
+    def is_spatial(self) -> bool:
+        return self.grid_type is not GridType.Scalar
+
+
+def _parse_grid(grid) -> GridType:
+    if isinstance(grid, GridType):
+        return grid
+    if grid in ("Scalar", "FourBox", "Hemispheric"):
+        return GridType(grid)
+    raise ValueError(f"Unknown grid type: {grid}. Must be Scalar, FourBox, or Hemispheric")
+
+
+@dataclass(frozen=True)
+class Input:
+    """Declare an input variable (class attribute descriptor)."""
+
+    name: str
+    unit: str = ""
+    grid: str = "Scalar"
+    description: str = ""
+
+    def to_requirement(self) -> RequirementDefinition:
+        return RequirementDefinition(self.name, self.unit, RequirementType.Input, _parse_grid(self.grid))
+
+
+@dataclass(frozen=True)
+class Output:
+    """Declare an output variable (class attribute descriptor)."""
+
+    name: str
+    unit: str = ""
+    grid: str = "Scalar"
+    description: str = ""
+
+    def to_requirement(self) -> RequirementDefinition:
+        return RequirementDefinition(self.name, self.unit, RequirementType.Output, _parse_grid(self.grid))
+
+
+@dataclass(frozen=True)
+class State:
+    """Declare a state variable (read previous value, write new value)."""
+
+    name: str
+    unit: str = ""
+    grid: str = "Scalar"
+    description: str = ""
+
+    def to_requirement(self) -> RequirementDefinition:
+        return RequirementDefinition(self.name, self.unit, RequirementType.State, _parse_grid(self.grid))
+
+
+@dataclass(frozen=True)
+class Parameter:
+    """Declare a numeric parameter traced into the compiled program.
+
+    ``default`` may be a float or an array-like; ``static=True`` keeps the
+    parameter out of the traced pytree (baked into the program — use for
+    integers/flags that select code paths).
+    """
+
+    default: Any = None
+    description: str = ""
+    unit: str = ""
+    static: bool = False
+
+
+# OutputState is a plain dict name -> StateValue (mirror of state/mod.rs:606)
+OutputState = Dict[str, StateValue]
+
+
+@dataclass
+class SolveContext:
+    """Per-step scalars handed to solve: times and the step index.
+
+    ``t_current``/``t_next`` are the half-open step bounds; ``step_index``
+    is the model step N (int on host, traced scalar in the compiled path).
+    ``spans`` carries the *static* (host) step widths of the whole time axis
+    so per-component sub-stepping (RK4, monthly loops) can resolve static
+    iteration counts at trace time — see :mod:`rscm_tpu.core.ivp`.
+    """
+
+    t_current: Any
+    t_next: Any
+    step_index: Any = 0
+    spans: Any = None
+
+    @property
+    def dt(self):
+        return self.t_next - self.t_current
+
+
+def _get_window_field_doc(grid: str) -> str:
+    return {
+        "Scalar": "ScalarWindow",
+        "FourBox": "FourBoxWindow",
+        "Hemispheric": "HemisphericWindow",
+    }[grid]
+
+
+def _create_inputs_class(component_name, inputs, states):
+    field_to_var = {}
+    for field_name, decl in {**inputs, **states}.items():
+        field_to_var[field_name] = (decl.name, decl.grid)
+
+    class InputsBase:
+        _field_to_var: ClassVar[dict] = field_to_var
+
+        def __init__(self, **kwargs):
+            for name, value in kwargs.items():
+                setattr(self, name, value)
+
+        @classmethod
+        def from_input_state(cls, input_state):
+            """Build typed inputs from a mapping of variable name -> window."""
+            kwargs = {}
+            for field_name, (var_name, _grid) in cls._field_to_var.items():
+                if hasattr(input_state, "get_window"):
+                    kwargs[field_name] = input_state.get_window(var_name)
+                else:
+                    if var_name not in input_state:
+                        raise KeyError(f"Missing required input: {var_name}")
+                    kwargs[field_name] = input_state[var_name]
+            return cls(**kwargs)
+
+        def __repr__(self):
+            fields = ", ".join(f"{n}={getattr(self, n, None)!r}" for n in self._field_to_var)
+            return f"{self.__class__.__name__}({fields})"
+
+    InputsBase.__name__ = f"{component_name}Inputs"
+    InputsBase.__qualname__ = f"{component_name}.Inputs"
+    return InputsBase
+
+
+def _create_outputs_class(component_name, outputs, states):
+    field_info = {}
+    for field_name, decl in {**outputs, **states}.items():
+        field_info[field_name] = (decl.name, decl.grid)
+    required = set(field_info)
+
+    class OutputsBase:
+        _field_info: ClassVar[dict] = field_info
+        _required_fields: ClassVar[set] = required
+
+        def __init__(self, **kwargs):
+            missing = self._required_fields - set(kwargs)
+            if missing:
+                raise TypeError(
+                    f"Missing required output fields: {', '.join(sorted(missing))}"
+                )
+            extra = set(kwargs) - self._required_fields
+            if extra:
+                raise TypeError(f"Unknown output fields: {', '.join(sorted(extra))}")
+            for name, value in kwargs.items():
+                setattr(self, name, value)
+
+        def to_dict(self) -> OutputState:
+            result = {}
+            for field_name, (var_name, grid) in self._field_info.items():
+                value = getattr(self, field_name)
+                if isinstance(value, StateValue):
+                    result[var_name] = value
+                elif isinstance(value, FourBoxSlice):
+                    result[var_name] = StateValue.four_box(value)
+                elif isinstance(value, HemisphericSlice):
+                    result[var_name] = StateValue.hemispheric(value)
+                elif grid == "FourBox":
+                    result[var_name] = StateValue.four_box(FourBoxSlice.from_array(value))
+                elif grid == "Hemispheric":
+                    result[var_name] = StateValue.hemispheric(
+                        HemisphericSlice.from_array(value)
+                    )
+                else:
+                    result[var_name] = StateValue.scalar(value)
+            return result
+
+        def __repr__(self):
+            fields = ", ".join(f"{n}={getattr(self, n, None)!r}" for n in self._field_info)
+            return f"{self.__class__.__name__}({fields})"
+
+    OutputsBase.__name__ = f"{component_name}Outputs"
+    OutputsBase.__qualname__ = f"{component_name}.Outputs"
+    return OutputsBase
+
+
+class ComponentMeta(type):
+    """Collects Input/Output/State/Parameter declarations; generates
+    ``Inputs``/``Outputs`` classes and parameter bookkeeping."""
+
+    def __new__(mcs, name, bases, namespace, **kwargs):
+        inputs, outputs, states, parameters = {}, {}, {}, {}
+        for base in bases:
+            inputs.update(getattr(base, "_component_inputs", {}))
+            outputs.update(getattr(base, "_component_outputs", {}))
+            states.update(getattr(base, "_component_states", {}))
+            parameters.update(getattr(base, "_component_parameters", {}))
+
+        for attr_name, attr_value in list(namespace.items()):
+            if isinstance(attr_value, Input):
+                inputs[attr_name] = attr_value
+            elif isinstance(attr_value, Output):
+                outputs[attr_name] = attr_value
+            elif isinstance(attr_value, State):
+                states[attr_name] = attr_value
+            elif isinstance(attr_value, Parameter):
+                parameters[attr_name] = attr_value
+
+        namespace["_component_inputs"] = inputs
+        namespace["_component_outputs"] = outputs
+        namespace["_component_states"] = states
+        namespace["_component_parameters"] = parameters
+
+        # Parameter descriptors become instance attributes with defaults;
+        # remove the class-level descriptor so instance values shadow.
+        for pname in parameters:
+            namespace.pop(pname, None)
+
+        cls = super().__new__(mcs, name, bases, namespace, **kwargs)
+
+        if name != "Component" and (inputs or outputs or states):
+            cls.Inputs = _create_inputs_class(name, inputs, states)
+            cls.Outputs = _create_outputs_class(name, outputs, states)
+        return cls
+
+
+class Component(metaclass=ComponentMeta):
+    """Base class for typed components.
+
+    Subclasses declare I/O with :class:`Input`/:class:`Output`/:class:`State`
+    descriptors and parameters with :class:`Parameter`, then implement
+    ``solve(t_current, t_next, inputs) -> Outputs``.
+
+    The same ``solve`` body serves the eager host path (float64 numpy) and
+    the compiled ``lax.scan`` path (traced jnp) — write physics with plain
+    arithmetic and :mod:`rscm_tpu.core.xmath` functions.
+    """
+
+    _registry: ClassVar[dict] = {}
+    _component_inputs: ClassVar[dict] = {}
+    _component_outputs: ClassVar[dict] = {}
+    _component_states: ClassVar[dict] = {}
+    _component_parameters: ClassVar[dict] = {}
+
+    #: Tags/category for documentation (mirror of #[component(tags, category)])
+    tags: ClassVar[tuple] = ()
+    category: ClassVar[Optional[str]] = None
+
+    Inputs: ClassVar[type]
+    Outputs: ClassVar[type]
+
+    def __init__(self, **params):
+        for pname, decl in self._component_parameters.items():
+            setattr(self, pname, params.pop(pname, decl.default))
+        if params:
+            raise TypeError(
+                f"Unknown parameters for {type(self).__name__}: {sorted(params)}"
+            )
+
+    def __init_subclass__(cls, register: bool = True, **kwargs):
+        super().__init_subclass__(**kwargs)
+        if register:
+            Component._registry[cls.__name__] = cls
+
+    @classmethod
+    def get_registered_components(cls):
+        return dict(cls._registry)
+
+    @classmethod
+    def get_component(cls, name: str):
+        if name not in cls._registry:
+            raise KeyError(
+                f"No component registered with name '{name}'. "
+                f"Available: {', '.join(sorted(cls._registry))}"
+            )
+        return cls._registry[name]
+
+    @classmethod
+    def from_parameters(cls, parameters: dict):
+        """Construct from a flat parameter dict (builder-macro parity)."""
+        return cls(**parameters)
+
+    # -- requirement surface (Component trait parity) -----------------------
+
+    def definitions(self) -> list:
+        defs = []
+        for decl in self._component_inputs.values():
+            defs.append(decl.to_requirement())
+        for decl in self._component_outputs.values():
+            defs.append(decl.to_requirement())
+        for decl in self._component_states.values():
+            defs.append(decl.to_requirement())
+        return defs
+
+    def inputs(self) -> list:
+        return [
+            d
+            for d in self.definitions()
+            if d.requirement_type in (RequirementType.Input, RequirementType.State)
+        ]
+
+    def input_names(self) -> list:
+        return [d.name for d in self.inputs()]
+
+    def outputs(self) -> list:
+        return [
+            d
+            for d in self.definitions()
+            if d.requirement_type in (RequirementType.Output, RequirementType.State)
+        ]
+
+    def output_names(self) -> list:
+        return [d.name for d in self.outputs()]
+
+    @property
+    def component_name(self) -> str:
+        return type(self).__name__
+
+    # -- parameters (TPU-native: traced pytree) -----------------------------
+
+    def param_pytree(self) -> dict:
+        """Traceable parameters as a flat dict (pytree leaves)."""
+        return {
+            pname: getattr(self, pname)
+            for pname, decl in self._component_parameters.items()
+            if not decl.static
+        }
+
+    def with_params(self, pytree: dict) -> "Component":
+        """Shallow copy with (possibly traced) parameter values substituted."""
+        clone = copy.copy(self)
+        for pname, value in pytree.items():
+            setattr(clone, pname, value)
+        return clone
+
+    # -- solve --------------------------------------------------------------
+
+    def solve(self, t_current, t_next, inputs):
+        raise NotImplementedError("Subclasses must implement solve()")
+
+    # Internal (private) state threading — mirror of ComponentState
+    # (component.rs:311-329).  Return a pytree (dict of arrays) or None.
+    def create_initial_state(self):
+        return None
+
+    def solve_with_state(self, t_current, t_next, inputs, internal_state):
+        """Default: stateless components ignore internal state."""
+        return self.solve(t_current, t_next, inputs), internal_state
+
+    # Extended solve for components that need the step index (traced scans,
+    # interpolation at sub-step times...).  Default dispatches to
+    # solve_with_state for backwards compatibility.
+    def solve_ctx(self, ctx: SolveContext, inputs, internal_state):
+        return self.solve_with_state(ctx.t_current, ctx.t_next, inputs, internal_state)
+
+    # -- doc metadata (rscm-doc-gen parity) ---------------------------------
+
+    @classmethod
+    def component_metadata(cls) -> dict:
+        def meta(declmap, kind):
+            return [
+                {
+                    "rust_name": field,
+                    "variable_name": decl.name,
+                    "unit": decl.unit,
+                    "grid": _parse_grid(decl.grid).value,
+                    "description": decl.description,
+                }
+                for field, decl in declmap.items()
+            ]
+
+        return {
+            "name": cls.__name__,
+            "tags": list(cls.tags),
+            "category": cls.category,
+            "inputs": meta(cls._component_inputs, "inputs"),
+            "outputs": meta(cls._component_outputs, "outputs"),
+            "states": meta(cls._component_states, "states"),
+            "parameters": [
+                {
+                    "name": pname,
+                    "default": decl.default,
+                    "unit": decl.unit,
+                    "description": decl.description,
+                }
+                for pname, decl in cls._component_parameters.items()
+            ],
+        }
+
+    def __repr__(self):
+        params = ", ".join(
+            f"{p}={getattr(self, p, None)!r}" for p in self._component_parameters
+        )
+        return f"{type(self).__name__}({params})"

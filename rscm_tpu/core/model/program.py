@@ -1,0 +1,265 @@
+"""
+The compiled model program: the whole run as one fused XLA computation.
+
+This is the TPU-native inversion of the reference's pointer-chasing runtime
+(SURVEY.md §3.2): instead of name-keyed lookups and trait dispatch per
+component per step, the builder's static execution plan is traced **once**
+into a single step function, and ``lax.scan`` drives it over the time axis.
+XLA fuses the per-component physics (RK4 sub-steps unrolled, grid transforms
+as constant matmuls, unit conversions as constant scales) into one program.
+
+Design notes
+------------
+- **Carry** = ``(endogenous arrays, component internal states)``.  Every
+  endogenous variable keeps its full ``(n_steps, n_regions)`` trajectory in
+  the carry and is written at index N+1 with ``dynamic_update_slice`` — XLA
+  performs these updates in place inside the scan body, so per-step cost is
+  O(step state), not O(history).  Window reads (``at_start``/``previous``/
+  ``last_n``/``interpolate``) are dynamic slices of the same arrays, which
+  keeps the *entire* reference window semantics available under tracing.
+- **Exogenous** data and the time axis are traced operands closed over by
+  the scan body (read-only; no carry cost).
+- **Parameters** enter as a pytree argument, so one compiled program serves
+  any parameter values: ``vmap`` over stacked parameter pytrees runs
+  ensembles; gradients flow end-to-end (see rscm_tpu.calibrate).
+- Upstream outputs written at N+1 by earlier components in the step are
+  immediately visible to later components' ``at_end`` reads — the same
+  dataflow the reference achieves through its BFS write-then-read ordering.
+
+The functional core (:meth:`ModelProgram.run_fn`) is pure and jittable; the
+object wrapper moves data between the host collection and the device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import numpy as np
+
+from ..component import SolveContext
+from ..spatial import GridType
+from ..state import StateValue, make_window
+from ..timeseries import VariableType
+from .graph import NullComponent
+from .input_state import InputState
+from .runtime import prepare_inputs
+
+__all__ = ["ModelProgram"]
+
+
+class ModelProgram:
+    """Compiled ``lax.scan`` program for a built model."""
+
+    def __init__(self, model, dtype=None):
+        import jax
+
+        self.model = model
+        if dtype is None:
+            dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+        self.dtype = np.dtype(dtype)
+
+        # Static structure ---------------------------------------------------
+        self.exec_nodes = [
+            node
+            for node in model.exec_order
+            if not isinstance(model.graph.nodes[node], NullComponent)
+        ]
+        self.n_steps = len(model.time_axis)
+        self.time_values = np.asarray(model.time_axis.values(), dtype=self.dtype)
+        self.time_bounds = np.asarray(model.time_axis.bounds(), dtype=self.dtype)
+        # static step widths (float64) for trace-time sub-step resolution
+        self.spans = np.diff(np.asarray(model.time_axis.bounds(), dtype=np.float64))
+
+        self.endo_names = []
+        self.exo_names = []
+        for item in model.collection:
+            if item.variable_type is VariableType.Endogenous:
+                self.endo_names.append(item.name)
+            else:
+                self.exo_names.append(item.name)
+
+        self._jitted = {}
+
+    # -- functional core -----------------------------------------------------
+
+    def _make_step_fn(self, exo):
+        """Close the step function over static plan + exogenous arrays."""
+        import jax.lax as lax
+        import jax.numpy as jnp
+
+        model = self.model
+        plan = model._plan
+        time_values = self.time_values
+        endo_set = set(self.endo_names)
+
+        def step_fn(carry, xs):
+            endo, internals = carry
+            idx = xs["idx"]
+            t_current = xs["t"]
+            t_next = xs["t_next"]
+            ctx = SolveContext(t_current, t_next, idx, spans=self.spans)
+
+            for node in self.exec_nodes:
+                component = model.graph.nodes[node]
+                read_specs, write_specs = plan[node]
+
+                builders = {}
+                for spec in read_specs:
+                    values = (
+                        endo[spec.var_name]
+                        if spec.var_name in endo_set
+                        else exo[spec.var_name]
+                    )
+                    item = model.collection.get_item(spec.var_name)
+
+                    def make(spec=spec, values=values, item=item):
+                        return make_window(
+                            spec.window_grid,
+                            values,
+                            idx,
+                            t_current,
+                            factor=spec.factor,
+                            source=spec.source,
+                            strategy=item.data.interpolation_strategy,
+                            time_values=time_values,
+                            grid=model._grid_obj(spec.window_grid),
+                            aggregation=spec.aggregation,
+                        )
+
+                    builders[spec.var_name] = make
+                input_state = InputState(builders, t_current)
+
+                params = xs["params"][str(node)] if str(node) in xs["params"] else {}
+                traced_component = component.with_params(params) if params else component
+
+                inputs = prepare_inputs(traced_component, input_state)
+                outputs, new_internal = traced_component.solve_ctx(
+                    ctx, inputs, internals.get(str(node))
+                )
+                internals = {**internals, str(node): new_internal}
+
+                if hasattr(outputs, "to_dict"):
+                    outputs = outputs.to_dict()
+                for key, value in outputs.items():
+                    sv = StateValue.wrap(value)
+                    spec = write_specs.get(key)
+                    row = jnp.asarray(sv.as_array(), dtype=self.dtype)
+                    if spec is not None and spec.matrix is not None:
+                        row = row @ jnp.asarray(spec.matrix, dtype=self.dtype)
+                    if key not in endo_set:
+                        continue
+                    arr = endo[key]
+                    arr = lax.dynamic_update_slice_in_dim(
+                        arr, row[None, :], idx + 1, axis=0
+                    )
+                    endo = {**endo, key: arr}
+
+            return (endo, internals), None
+
+        return step_fn
+
+    def run_fn(self, endo, exo, params, internals, start_idx: int = 0):
+        """Pure run: scan the step function from ``start_idx`` to the end.
+
+        All array arguments are traced; ``start_idx`` is static.  Returns
+        ``(endo, internals)`` after the final step.
+        """
+        import jax.lax as lax
+        import jax.numpy as jnp
+
+        n_run = self.n_steps - 1 - start_idx
+        if n_run <= 0:
+            return endo, internals
+
+        idxs = np.arange(start_idx, self.n_steps - 1, dtype=np.int32)
+        xs = {
+            "idx": jnp.asarray(idxs),
+            "t": jnp.asarray(self.time_bounds[idxs], dtype=self.dtype),
+            "t_next": jnp.asarray(self.time_bounds[idxs + 1], dtype=self.dtype),
+        }
+
+        step_fn = self._make_step_fn(exo)
+
+        def step_with_params(carry, x):
+            return step_fn(carry, {**x, "params": params})
+
+        (endo, internals), _ = lax.scan(step_with_params, (endo, internals), xs)
+        return endo, internals
+
+    # -- host data marshalling ----------------------------------------------
+
+    def gather_endo(self) -> Dict[str, np.ndarray]:
+        return {
+            name: np.asarray(
+                self.model.collection.get_data(name).values(), dtype=self.dtype
+            )
+            for name in self.endo_names
+        }
+
+    def gather_exo(self) -> Dict[str, np.ndarray]:
+        return {
+            name: np.asarray(
+                self.model.collection.get_data(name).values(), dtype=self.dtype
+            )
+            for name in self.exo_names
+        }
+
+    def gather_params(self) -> Dict[str, dict]:
+        params = {}
+        for node in self.exec_nodes:
+            pytree = self.model.graph.nodes[node].param_pytree()
+            if pytree:
+                params[str(node)] = {
+                    k: np.asarray(v, dtype=self.dtype) for k, v in pytree.items()
+                }
+        return params
+
+    def gather_internals(self) -> Dict[str, object]:
+        import jax
+
+        def cast(leaf):
+            arr = np.asarray(leaf)
+            if np.issubdtype(arr.dtype, np.floating):
+                return arr.astype(self.dtype)
+            return arr
+
+        return {
+            str(node): jax.tree.map(cast, self.model.component_states[node])
+            for node in self.exec_nodes
+        }
+
+    # -- execution ------------------------------------------------------------
+
+    def _get_jitted(self, start_idx: int):
+        import jax
+
+        if start_idx not in self._jitted:
+            self._jitted[start_idx] = jax.jit(
+                functools.partial(self.run_fn, start_idx=start_idx)
+            )
+        return self._jitted[start_idx]
+
+    def run_into_collection(self, model):
+        """Execute from the model's current time index; write results back."""
+        start_idx = model.time_index
+        endo = self.gather_endo()
+        exo = self.gather_exo()
+        params = self.gather_params()
+        internals = self.gather_internals()
+
+        fn = self._get_jitted(start_idx)
+        endo_out, internals_out = fn(endo, exo, params, internals)
+
+        for name, arr in endo_out.items():
+            data = model.collection.get_data(name)
+            data._values[:, :] = np.asarray(arr, dtype=np.float64)
+            data._recompute_latest()
+        for node in self.exec_nodes:
+            new_state = internals_out.get(str(node))
+            if new_state is not None:
+                import jax
+
+                model.component_states[node] = jax.tree.map(
+                    lambda leaf: np.asarray(leaf), new_state
+                )
