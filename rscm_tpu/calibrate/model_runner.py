@@ -1,0 +1,209 @@
+"""
+Model runners: map a parameter vector to model outputs.
+
+Mirror of ``crates/rscm-calibrate/src/model_runner.rs``:
+
+- :class:`ModelRunner` — the protocol (``param_names``, ``run``,
+  ``run_batch``);
+- :class:`DefaultModelRunner` — builds a fresh model per parameter vector
+  through a user factory and extracts named scalar outputs (host path;
+  the reference parallelises this with rayon — here each model run is
+  already one compiled program);
+- :class:`CompiledModelRunner` — the TPU-native runner: one model, its
+  parameters exposed as traced leaves; ``trajectories_fn`` is a **pure
+  function** theta -> {var: (n_steps, 1)} that vmaps/grads/jits, which the
+  on-device sampler consumes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from .likelihood import ModelOutput, VariableOutput
+
+__all__ = ["ModelRunner", "DefaultModelRunner", "CompiledModelRunner"]
+
+
+class ModelRunner:
+    def param_names(self) -> List[str]:
+        raise NotImplementedError
+
+    def run(self, params) -> ModelOutput:
+        raise NotImplementedError
+
+    def run_batch(self, param_sets) -> list:
+        """Default sequential batch; entries are ModelOutput or Exception."""
+        out = []
+        for params in param_sets:
+            try:
+                out.append(self.run(params))
+            except Exception as e:  # failed runs become -inf posterior
+                out.append(e)
+        return out
+
+
+class DefaultModelRunner(ModelRunner):
+    def __init__(
+        self,
+        param_names: List[str],
+        output_variables: List[str],
+        factory: Callable,
+    ):
+        self._param_names = list(param_names)
+        self.output_variables = list(output_variables)
+        self.factory = factory
+
+    def param_names(self):
+        return self._param_names
+
+    def run(self, params) -> ModelOutput:
+        params = list(np.asarray(params, dtype=np.float64))
+        if len(params) != len(self._param_names):
+            raise ValueError(
+                f"Expected {len(self._param_names)} parameters, got {len(params)}"
+            )
+        model = self.factory(params)
+        model.run()
+        if not model.finished():
+            raise RuntimeError("Model did not complete all timesteps")
+        return self.extract_outputs(model)
+
+    def extract_outputs(self, model) -> ModelOutput:
+        output = ModelOutput()
+        collection = model.timeseries()
+        for var_name in self.output_variables:
+            data = collection.get_data(var_name)
+            if data is None:
+                raise ValueError(f"Model output missing variable: {var_name}")
+            if data.grid.size() != 1:
+                raise ValueError(f"Grid variables not yet supported: {var_name}")
+            var_output = VariableOutput(var_name)
+            times = data.time_axis().values()
+            values = data.values()[:, 0]
+            for t, v in zip(times, values):
+                if not np.isnan(v):
+                    var_output.add(float(t), float(v))
+            output.add_variable(var_output)
+        return output
+
+
+class CompiledModelRunner(ModelRunner):
+    """TPU-native runner over a built model's compiled program.
+
+    ``param_map`` maps sampled parameter names to model parameters as
+    ``"ComponentName.param"`` strings (one sampled value may drive several
+    model parameters by listing multiple targets).
+    """
+
+    def __init__(
+        self,
+        model,
+        param_map: Dict[str, object],
+        output_variables: List[str],
+        dtype=None,
+    ):
+        from rscm_tpu.core.model.program import ModelProgram
+
+        self.model = model
+        self.program = ModelProgram(model, dtype=dtype)
+        self.output_variables = list(output_variables)
+        self._param_names = list(param_map)
+        # normalise: name -> list of "Component.param"
+        self.param_map = {
+            name: ([targets] if isinstance(targets, str) else list(targets))
+            for name, targets in param_map.items()
+        }
+
+        # resolve Component.param -> (node_key, param_name)
+        name_for_node = {}
+        for node in self.program.exec_nodes:
+            comp = model.graph.nodes[node]
+            name_for_node[
+                getattr(comp, "component_name", type(comp).__name__)
+            ] = str(node)
+        self._targets = {}
+        base = self.program.gather_params()
+        for name, targets in self.param_map.items():
+            resolved = []
+            for target in targets:
+                comp_name, _, pname = target.partition(".")
+                if comp_name not in name_for_node:
+                    raise KeyError(f"Unknown component '{comp_name}' in param_map")
+                node_key = name_for_node[comp_name]
+                if pname not in base.get(node_key, {}):
+                    raise KeyError(
+                        f"Unknown parameter '{pname}' on component '{comp_name}'"
+                    )
+                resolved.append((node_key, pname))
+            self._targets[name] = resolved
+        self._base_params = base
+        self._cached = None
+
+    def param_names(self):
+        return self._param_names
+
+    # -- pure traced core ------------------------------------------------------
+
+    def params_pytree(self, theta):
+        """Substitute a (D,) parameter vector into the model's param pytree."""
+        out = {k: dict(v) for k, v in self._base_params.items()}
+        for j, name in enumerate(self._param_names):
+            for node_key, pname in self._targets[name]:
+                out[node_key][pname] = theta[j]
+        return out
+
+    def trajectories_fn(self):
+        """Pure fn: theta (D,) -> {var: (n_steps, g)} — jit/vmap/grad-able."""
+        p = self.program
+        endo = p.gather_endo()
+        exo = p.gather_exo()
+        internals = p.gather_internals()
+        out_vars = self.output_variables
+
+        def fn(theta):
+            params = self.params_pytree(theta)
+            endo_out, _ = p.run_fn(endo, exo, params, internals)
+            return {name: endo_out[name] for name in out_vars}
+
+        return fn
+
+    # -- ModelRunner protocol (host API parity) --------------------------------
+
+    def run(self, params) -> ModelOutput:
+        import jax
+
+        if self._cached is None:
+            self._cached = jax.jit(self.trajectories_fn())
+        theta = np.asarray(params, dtype=self.program.dtype)
+        trajectories = self._cached(theta)
+        output = ModelOutput()
+        times = self.model.time_axis.values()
+        for name in self.output_variables:
+            var_output = VariableOutput(name)
+            series = np.asarray(trajectories[name])[:, 0]
+            for t, v in zip(times, series):
+                if not np.isnan(v):
+                    var_output.add(float(t), float(v))
+            output.add_variable(var_output)
+        return output
+
+    def run_batch(self, param_sets) -> list:
+        import jax
+
+        thetas = np.asarray(param_sets, dtype=self.program.dtype)
+        batched = jax.jit(jax.vmap(self.trajectories_fn()))(thetas)
+        outputs = []
+        times = self.model.time_axis.values()
+        for i in range(thetas.shape[0]):
+            output = ModelOutput()
+            for name in self.output_variables:
+                var_output = VariableOutput(name)
+                series = np.asarray(batched[name][i])[:, 0]
+                for t, v in zip(times, series):
+                    if not np.isnan(v):
+                        var_output.add(float(t), float(v))
+                output.add_variable(var_output)
+            outputs.append(output)
+        return outputs

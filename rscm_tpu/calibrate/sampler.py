@@ -1,0 +1,511 @@
+"""
+Affine-invariant ensemble MCMC (Goodman & Weare 2010 stretch move).
+
+Mirror of ``crates/rscm-calibrate/src/sampler/`` — walkers split into two
+halves updated alternately, z ~ g(z; a) stretch proposals against a random
+complement walker, acceptance ``min(1, z^(D-1) * p_new/p_old)``, default
+walkers ``max(2*n_params, 32)``, checkpoint/resume, progress callbacks.
+
+Two engines:
+
+- **device** (default for :class:`CompiledModelRunner`): the complete
+  sampling loop — proposals, posterior evaluation through the compiled
+  model, accept/reject — is one ``lax.scan`` over iterations with walkers
+  vmapped, so an entire calibration runs as a single XLA program without
+  host round-trips.
+- **host**: reference-faithful Python loop for arbitrary ``ModelRunner``
+  implementations (the GIL-bound Python-model path of the reference).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from .chain import Chain
+from .likelihood import GaussianLikelihood, LikelihoodFn
+from .model_runner import CompiledModelRunner, ModelRunner
+from .parameter_set import ParameterSet
+from .target import Target
+
+__all__ = [
+    "StretchMove",
+    "WalkerInit",
+    "SamplerState",
+    "ProgressInfo",
+    "EnsembleSampler",
+]
+
+
+@dataclass
+class ProgressInfo:
+    iteration: int
+    total: int
+    acceptance_rate: float
+    mean_log_prob: float
+
+
+class StretchMove:
+    def __init__(self, a: float = 2.0):
+        if a <= 1.0:
+            raise ValueError(
+                f"Stretch move scale parameter must be > 1.0, got {a}"
+            )
+        self.a = float(a)
+
+    def sample_z(self, rng: np.random.Generator) -> float:
+        u = rng.random()
+        return ((self.a - 1.0) * u + 1.0) ** 2 / self.a
+
+    def acceptance_probability(self, z, n_params, log_prob_old, log_prob_new):
+        if not np.isfinite(log_prob_new):
+            return 0.0
+        log_ratio = (n_params - 1.0) * np.log(z) + (log_prob_new - log_prob_old)
+        return min(np.exp(log_ratio), 1.0)
+
+
+class WalkerInit:
+    """FromPrior / Ball(center, radius) / Explicit(positions)."""
+
+    def __init__(self, kind: str, center=None, radius=None, positions=None):
+        self.kind = kind
+        self.center = center
+        self.radius = radius
+        self.positions = positions
+
+    @staticmethod
+    def from_prior() -> "WalkerInit":
+        return WalkerInit("FromPrior")
+
+    @staticmethod
+    def ball(center, radius: float) -> "WalkerInit":
+        return WalkerInit("Ball", center=list(center), radius=float(radius))
+
+    @staticmethod
+    def explicit(positions) -> "WalkerInit":
+        return WalkerInit("Explicit", positions=np.asarray(positions, dtype=np.float64))
+
+    def initialize(self, n_walkers: int, params: ParameterSet, rng) -> np.ndarray:
+        if self.kind == "FromPrior":
+            return params.sample_random(n_walkers, rng)
+        if self.kind == "Ball":
+            if len(self.center) != len(params):
+                raise ValueError(
+                    f"Ball center length {len(self.center)} does not match "
+                    f"parameter count {len(params)}"
+                )
+            offsets = rng.random((n_walkers, len(params))) - 0.5
+            return np.asarray(self.center) + offsets * self.radius
+        if self.kind == "Explicit":
+            pos = self.positions
+            if pos.shape[0] != n_walkers:
+                raise ValueError(
+                    f"Explicit positions have {pos.shape[0]} walkers, "
+                    f"expected {n_walkers}"
+                )
+            if pos.shape[1] != len(params):
+                raise ValueError(
+                    f"Explicit positions have {pos.shape[1]} parameters, "
+                    f"expected {len(params)}"
+                )
+            return pos.copy()
+        raise ValueError(f"Unknown WalkerInit kind {self.kind}")
+
+
+class SamplerState:
+    """Walker positions + log-probs + acceptance counts (checkpointable)."""
+
+    def __init__(self, positions: np.ndarray, param_names: List[str]):
+        self.positions = np.asarray(positions, dtype=np.float64)
+        self.param_names = list(param_names)
+        n_walkers = self.positions.shape[0]
+        self.log_probs = np.full(n_walkers, -np.inf)
+        self.n_accepted = np.zeros(n_walkers, dtype=np.int64)
+        self.n_proposed = np.zeros(n_walkers, dtype=np.int64)
+        self.iteration = 0
+
+    def n_params(self) -> int:
+        return self.positions.shape[1]
+
+    def mean_acceptance_rate(self) -> float:
+        total = self.n_proposed.sum()
+        return float(self.n_accepted.sum() / total) if total else 0.0
+
+    def save_checkpoint(self, path: str):
+        np.savez_compressed(
+            path if path.endswith(".npz") else path + ".npz",
+            positions=self.positions,
+            log_probs=self.log_probs,
+            n_accepted=self.n_accepted,
+            n_proposed=self.n_proposed,
+            iteration=self.iteration,
+            param_names=np.asarray(self.param_names, dtype=object),
+        )
+
+    @staticmethod
+    def load_checkpoint(path: str) -> "SamplerState":
+        real = path if os.path.exists(path) else path + ".npz"
+        with np.load(real, allow_pickle=True) as data:
+            state = SamplerState(
+                data["positions"], [str(s) for s in data["param_names"]]
+            )
+            state.log_probs = data["log_probs"]
+            state.n_accepted = data["n_accepted"]
+            state.n_proposed = data["n_proposed"]
+            state.iteration = int(data["iteration"])
+        return state
+
+
+class EnsembleSampler:
+    def __init__(
+        self,
+        params: ParameterSet,
+        runner: ModelRunner,
+        likelihood: LikelihoodFn,
+        target: Target,
+    ):
+        self.params = params
+        self.runner = runner
+        self.likelihood = likelihood
+        self.target = target
+        self.stretch = StretchMove()
+        self.default_n_walkers = max(2 * len(params), 32)
+        self._device_log_prob = None
+
+    def with_stretch_param(self, a: float) -> "EnsembleSampler":
+        self.stretch = StretchMove(a)
+        return self
+
+    # -- posterior -------------------------------------------------------------
+
+    def log_posterior_batch(self, param_sets) -> np.ndarray:
+        outputs = self.runner.run_batch(param_sets)
+        out = np.empty(len(param_sets))
+        for i, (theta, output) in enumerate(zip(param_sets, outputs)):
+            try:
+                log_prior = float(self.params.log_prior(np.asarray(theta)))
+            except Exception:
+                out[i] = -np.inf
+                continue
+            if not np.isfinite(log_prior):
+                out[i] = -np.inf
+                continue
+            if isinstance(output, Exception):
+                out[i] = -np.inf
+                continue
+            try:
+                ll = self.likelihood.ln_likelihood(output, self.target)
+            except Exception:
+                out[i] = -np.inf
+                continue
+            out[i] = log_prior + ll
+        return out
+
+    def _build_device_log_prob(self):
+        """Pure theta -> log posterior usable in jit/vmap/grad."""
+        if self._device_log_prob is not None:
+            return self._device_log_prob
+        if not isinstance(self.runner, CompiledModelRunner):
+            return None
+        if not isinstance(self.likelihood, GaussianLikelihood):
+            return None
+        import jax.numpy as jnp
+
+        compiled_target = self.target.compile(self.runner.model.time_axis)
+        traj_fn = self.runner.trajectories_fn()
+        likelihood = self.likelihood
+        params = self.params
+
+        def log_prob(theta):
+            lp = params.log_prior(theta)
+            trajectories = traj_fn(theta)
+            ll = likelihood.ln_likelihood_traced(trajectories, compiled_target)
+            total = lp + ll
+            return jnp.where(jnp.isfinite(total), total, -jnp.inf)
+
+        self._device_log_prob = log_prob
+        return log_prob
+
+    # -- public API --------------------------------------------------------------
+
+    def run(
+        self,
+        n_iterations: int,
+        init: WalkerInit,
+        thin: int = 1,
+        n_walkers: Optional[int] = None,
+        progress_callback: Optional[Callable] = None,
+        seed: Optional[int] = None,
+        engine: Optional[str] = None,
+    ) -> Chain:
+        """Sample; ``engine`` in {None (auto), "device", "host"}."""
+        n_walkers = n_walkers or self.default_n_walkers
+        if n_walkers < 2:
+            raise ValueError("Must have at least 2 walkers")
+        if n_walkers % 2 != 0:
+            raise ValueError("Number of walkers must be even")
+
+        rng = np.random.default_rng(seed)
+        positions = init.initialize(n_walkers, self.params, rng)
+        state = SamplerState(positions, self.params.param_names())
+        chain = Chain(self.params.param_names(), thin)
+        return self._run_from_state(
+            state, chain, n_iterations, rng, progress_callback, engine
+        )
+
+    run_with_walkers = run
+    run_with_progress = run
+
+    def run_with_checkpoint(
+        self,
+        n_iterations: int,
+        init: WalkerInit,
+        thin: int,
+        checkpoint_every: int,
+        checkpoint_path: str,
+        progress_callback=None,
+        n_walkers: Optional[int] = None,
+        seed: Optional[int] = None,
+        engine: Optional[str] = None,
+    ) -> Chain:
+        n_walkers = n_walkers or self.default_n_walkers
+        rng = np.random.default_rng(seed)
+        positions = init.initialize(n_walkers, self.params, rng)
+        state = SamplerState(positions, self.params.param_names())
+        chain = Chain(self.params.param_names(), thin)
+        return self._run_from_state(
+            state,
+            chain,
+            n_iterations,
+            rng,
+            progress_callback,
+            engine,
+            checkpoint_every=checkpoint_every,
+            checkpoint_path=checkpoint_path,
+        )
+
+    def resume_from_checkpoint(
+        self,
+        n_iterations: int,
+        thin: int,
+        checkpoint_every: int,
+        checkpoint_path: str,
+        progress_callback=None,
+        seed: Optional[int] = None,
+        engine: Optional[str] = None,
+    ) -> Chain:
+        state = SamplerState.load_checkpoint(checkpoint_path + ".state")
+        chain = Chain.load(checkpoint_path + ".chain.npz")
+        rng = np.random.default_rng(seed)
+        return self._run_from_state(
+            state,
+            chain,
+            n_iterations,
+            rng,
+            progress_callback,
+            engine,
+            checkpoint_every=checkpoint_every,
+            checkpoint_path=checkpoint_path,
+        )
+
+    # -- engines ----------------------------------------------------------------
+
+    def _run_from_state(
+        self,
+        state: SamplerState,
+        chain: Chain,
+        n_iterations: int,
+        rng,
+        progress_callback,
+        engine,
+        checkpoint_every: Optional[int] = None,
+        checkpoint_path: Optional[str] = None,
+    ) -> Chain:
+        device_log_prob = self._build_device_log_prob() if engine != "host" else None
+        if engine == "device" and device_log_prob is None:
+            raise ValueError(
+                "device engine requires a CompiledModelRunner + GaussianLikelihood"
+            )
+        if device_log_prob is not None:
+            return self._run_device(
+                device_log_prob,
+                state,
+                chain,
+                n_iterations,
+                rng,
+                progress_callback,
+                checkpoint_every,
+                checkpoint_path,
+            )
+        return self._run_host(
+            state,
+            chain,
+            n_iterations,
+            rng,
+            progress_callback,
+            checkpoint_every,
+            checkpoint_path,
+        )
+
+    def _maybe_checkpoint(self, state, chain, iteration, every, path):
+        if every and path and (iteration + 1) % every == 0:
+            state.iteration = iteration + 1
+            state.save_checkpoint(path + ".state")
+            chain.save(path + ".chain.npz")
+
+    # .. host engine (reference-faithful loop) ...................................
+
+    def _run_host(
+        self, state, chain, n_iterations, rng, progress_callback,
+        checkpoint_every=None, checkpoint_path=None,
+    ):
+        n_walkers = state.positions.shape[0]
+        half = n_walkers // 2
+        if not np.all(np.isfinite(state.log_probs)) and state.iteration == 0:
+            state.log_probs = self.log_posterior_batch(list(state.positions))
+
+        for iteration in range(n_iterations):
+            self._update_group_host(state, range(0, half), range(half, n_walkers), rng)
+            self._update_group_host(state, range(half, n_walkers), range(0, half), rng)
+            chain.push(state.positions, state.log_probs)
+            if progress_callback is not None:
+                progress_callback(
+                    ProgressInfo(
+                        iteration,
+                        n_iterations,
+                        state.mean_acceptance_rate(),
+                        float(np.mean(state.log_probs)),
+                    )
+                )
+            self._maybe_checkpoint(
+                state, chain, iteration, checkpoint_every, checkpoint_path
+            )
+        return chain
+
+    def _update_group_host(self, state, active, complement, rng):
+        comp_positions = state.positions[list(complement)]
+        proposals, zs = [], []
+        for i in active:
+            z = self.stretch.sample_z(rng)
+            comp = comp_positions[rng.integers(len(comp_positions))]
+            proposals.append(comp + z * (state.positions[i] - comp))
+            zs.append(z)
+        log_probs_new = self.log_posterior_batch(proposals)
+        for i, proposal, z, lp_new in zip(active, proposals, zs, log_probs_new):
+            accept_prob = self.stretch.acceptance_probability(
+                z, state.n_params(), state.log_probs[i], lp_new
+            )
+            state.n_proposed[i] += 1
+            if rng.random() < accept_prob:
+                state.positions[i] = proposal
+                state.log_probs[i] = lp_new
+                state.n_accepted[i] += 1
+
+    # .. device engine (single lax.scan over iterations) .........................
+
+    def _run_device(
+        self, log_prob, state, chain, n_iterations, rng, progress_callback,
+        checkpoint_every=None, checkpoint_path=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+        import jax.random as jr
+
+        dtype = self.runner.program.dtype
+        n_walkers, n_params = state.positions.shape
+        half = n_walkers // 2
+        a = self.stretch.a
+
+        batched_log_prob = jax.vmap(log_prob)
+
+        def half_step(carry, active_slice, comp_slice, key):
+            positions, log_probs, n_accepted = carry
+            active = jax.lax.dynamic_slice_in_dim(positions, active_slice, half, 0)
+            comp = jax.lax.dynamic_slice_in_dim(positions, comp_slice, half, 0)
+            lp_old = jax.lax.dynamic_slice_in_dim(log_probs, active_slice, half, 0)
+
+            kz, kc, ka = jr.split(key, 3)
+            u = jr.uniform(kz, (half,), dtype=active.dtype)
+            z = ((a - 1.0) * u + 1.0) ** 2 / a
+            comp_idx = jr.randint(kc, (half,), 0, half)
+            chosen = comp[comp_idx]
+            proposals = chosen + z[:, None] * (active - chosen)
+
+            lp_new = batched_log_prob(proposals)
+            log_ratio = (n_params - 1.0) * jnp.log(z) + (lp_new - lp_old)
+            accept = (
+                jnp.log(jr.uniform(ka, (half,), dtype=active.dtype)) < log_ratio
+            ) & jnp.isfinite(lp_new)
+
+            new_active = jnp.where(accept[:, None], proposals, active)
+            new_lp = jnp.where(accept, lp_new, lp_old)
+            positions = jax.lax.dynamic_update_slice_in_dim(
+                positions, new_active, active_slice, 0
+            )
+            log_probs = jax.lax.dynamic_update_slice_in_dim(
+                log_probs, new_lp, active_slice, 0
+            )
+            n_accepted = jax.lax.dynamic_update_slice_in_dim(
+                n_accepted,
+                jax.lax.dynamic_slice_in_dim(n_accepted, active_slice, half, 0)
+                + accept.astype(jnp.int64),
+                active_slice,
+                0,
+            )
+            return positions, log_probs, n_accepted
+
+        def iteration_step(carry, key):
+            k1, k2 = jr.split(key)
+            carry = half_step(carry, 0, half, k1)
+            carry = half_step(carry, half, 0, k2)
+            positions, log_probs, _ = carry
+            return carry, (positions, log_probs)
+
+        @jax.jit
+        def run_scan(positions, log_probs, n_accepted, keys):
+            return jax.lax.scan(
+                iteration_step, (positions, log_probs, n_accepted), keys
+            )
+
+        positions = jnp.asarray(state.positions, dtype=dtype)
+        if state.iteration == 0 or not np.all(np.isfinite(state.log_probs)):
+            log_probs = batched_log_prob(positions)
+        else:
+            log_probs = jnp.asarray(state.log_probs, dtype=dtype)
+        n_accepted = jnp.asarray(state.n_accepted)
+
+        # chunk the scan so checkpoints/progress fire at the requested cadence
+        chunk = checkpoint_every or n_iterations
+        seed = int(rng.integers(0, 2**63 - 1))
+        key = jr.PRNGKey(seed)
+        done = 0
+        while done < n_iterations:
+            todo = min(chunk, n_iterations - done)
+            key, sub = jr.split(key)
+            keys = jr.split(sub, todo)
+            (positions, log_probs, n_accepted), (all_pos, all_lp) = run_scan(
+                positions, log_probs, n_accepted, keys
+            )
+            chain.push_stacked(np.asarray(all_pos), np.asarray(all_lp))
+            done += todo
+            state.positions = np.asarray(positions)
+            state.log_probs = np.asarray(log_probs)
+            state.n_accepted = np.asarray(n_accepted)
+            state.n_proposed += todo  # each walker proposed once per iteration
+            if progress_callback is not None:
+                progress_callback(
+                    ProgressInfo(
+                        done - 1,
+                        n_iterations,
+                        float(np.sum(state.n_accepted) / max(np.sum(state.n_proposed), 1)),
+                        float(np.mean(state.log_probs)),
+                    )
+                )
+            self._maybe_checkpoint(
+                state, chain, done - 1, checkpoint_every, checkpoint_path
+            )
+        return chain

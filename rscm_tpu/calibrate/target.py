@@ -1,0 +1,128 @@
+"""
+Calibration targets: observations with uncertainties per variable.
+
+Mirror of ``crates/rscm-calibrate/src/target.rs:25-245`` including
+reference-period (anomaly) support.  :meth:`Target.compile` lowers the
+observation set onto a model time axis as static index/value/uncertainty
+arrays so the likelihood is a pure masked reduction on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["Observation", "VariableTarget", "Target", "CompiledTarget"]
+
+
+@dataclass
+class Observation:
+    time: float
+    value: float
+    uncertainty: float
+
+    def __post_init__(self):
+        if self.uncertainty <= 0.0:
+            raise ValueError("Uncertainty must be positive")
+
+
+class VariableTarget:
+    def __init__(self, name: str):
+        self.name = name
+        self.observations: List[Observation] = []
+        self.reference_period: Optional[Tuple[float, float]] = None
+
+    def add_observation(self, obs: Observation) -> "VariableTarget":
+        self.observations.append(obs)
+        self.observations.sort(key=lambda o: o.time)
+        return self
+
+    def add(self, time: float, value: float, uncertainty: float) -> "VariableTarget":
+        return self.add_observation(Observation(time, value, uncertainty))
+
+    def add_relative(self, time: float, value: float, relative_uncertainty: float):
+        return self.add(time, value, abs(value) * relative_uncertainty)
+
+    def with_reference_period(self, start: float, end: float) -> "VariableTarget":
+        self.reference_period = (start, end)
+        return self
+
+    def observations_in_range(self, start: float, end: float) -> List[Observation]:
+        return [o for o in self.observations if start <= o.time <= end]
+
+    def time_range(self):
+        if not self.observations:
+            return None
+        return (self.observations[0].time, self.observations[-1].time)
+
+    def __repr__(self):
+        return f"VariableTarget({self.name!r}, {len(self.observations)} obs)"
+
+
+class Target:
+    def __init__(self):
+        self.variables: Dict[str, VariableTarget] = {}
+
+    def add_variable(self, name: str) -> VariableTarget:
+        if name not in self.variables:
+            self.variables[name] = VariableTarget(name)
+        return self.variables[name]
+
+    def get_variable(self, name: str) -> Optional[VariableTarget]:
+        return self.variables.get(name)
+
+    def variable_names(self) -> list:
+        return list(self.variables)
+
+    def total_observations(self) -> int:
+        return sum(len(v.observations) for v in self.variables.values())
+
+    def compile(self, time_axis) -> "CompiledTarget":
+        return CompiledTarget(self, time_axis)
+
+    def __repr__(self):
+        return f"Target({list(self.variables)})"
+
+
+class CompiledTarget:
+    """Target lowered onto a model time axis as static arrays.
+
+    Per variable: observation time-axis indices (nearest-match within
+    1e-6), values, 1/sigma^2 weights, and an optional reference-period
+    index mask for anomaly targets.
+    """
+
+    def __init__(self, target: Target, time_axis):
+        self.target = target
+        self.time_axis = time_axis
+        values = np.asarray(time_axis.values())
+        self.per_variable = {}
+        for name, vt in target.variables.items():
+            idxs, obs_vals, sigmas = [], [], []
+            for obs in vt.observations:
+                matches = np.nonzero(np.abs(values - obs.time) < 1e-6)[0]
+                if len(matches) == 0:
+                    raise ValueError(
+                        f"Observation time {obs.time} for '{name}' is not on the "
+                        f"model time axis"
+                    )
+                idxs.append(int(matches[0]))
+                obs_vals.append(obs.value)
+                sigmas.append(obs.uncertainty)
+            ref_idx = None
+            if vt.reference_period is not None:
+                start, end = vt.reference_period
+                ref_idx = np.nonzero((values >= start) & (values <= end))[0]
+                if len(ref_idx) == 0:
+                    raise ValueError(
+                        f"Reference period {vt.reference_period} for '{name}' "
+                        f"contains no model time steps"
+                    )
+            self.per_variable[name] = {
+                "indices": np.asarray(idxs, dtype=np.int32),
+                "values": np.asarray(obs_vals),
+                "sigmas": np.asarray(sigmas),
+                "reference_indices": ref_idx,
+            }
