@@ -33,6 +33,24 @@ from .point_estimator import (
     RandomSearch,
 )
 
+# pandas integration (graceful without pandas, mirroring the reference)
+try:
+    from .pandas_helpers import chain_to_dataframe, target_from_dataframe
+
+    def _chain_to_dataframe(self, discard: int = 0):
+        """Convert chain to a pandas DataFrame (walker/iteration index)."""
+        return chain_to_dataframe(self, discard=discard)
+
+    Chain.to_dataframe = _chain_to_dataframe
+    Target.from_dataframe = staticmethod(target_from_dataframe)
+    HAS_PANDAS = True
+except ImportError:  # pragma: no cover
+    HAS_PANDAS = False
+    chain_to_dataframe = None
+    target_from_dataframe = None
+
+from . import progress  # noqa: E402
+
 __all__ = [
     "Bound",
     "Chain",

@@ -65,6 +65,14 @@ class ModelProgram:
             for node in model.exec_order
             if not isinstance(model.graph.nodes[node], NullComponent)
         ]
+        for node in self.exec_nodes:
+            component = model.graph.nodes[node]
+            if not getattr(component, "traceable", True):
+                raise TypeError(
+                    f"Component '{getattr(component, 'component_name', component)}' "
+                    f"cannot be traced (arbitrary Python solve); the model runs "
+                    f"on the eager host path instead."
+                )
         self.n_steps = len(model.time_axis)
         self.time_values = np.asarray(model.time_axis.values(), dtype=self.dtype)
         self.time_bounds = np.asarray(model.time_axis.bounds(), dtype=self.dtype)

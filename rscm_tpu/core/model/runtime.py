@@ -36,6 +36,21 @@ from .types import ReadSpec, WriteSpec
 __all__ = ["Model", "prepare_inputs"]
 
 
+def _listify(obj):
+    """Prepare a nested structure for TOML: tuples->lists, drop None values."""
+    if isinstance(obj, dict):
+        return {k: _listify(v) for k, v in obj.items() if v is not None}
+    if isinstance(obj, (list, tuple)):
+        return [_listify(v) for v in obj]
+    if isinstance(obj, np.generic):
+        return obj.item()
+    return obj
+
+
+def _detomlify(obj):
+    return obj
+
+
 def prepare_inputs(component, input_state: InputState):
     """Adapt an InputState to what the component's solve expects."""
     inputs_cls = getattr(component, "Inputs", None)
@@ -321,6 +336,197 @@ class Model:
                 continue
             self.component_states[node] = decode_state(encoded, template)
         self._program = None
+
+    # -- full serialisation (component reconstruction) ------------------------
+
+    def to_full_dict(self) -> dict:
+        """Complete model state incl. components and the execution graph.
+
+        Equivalent of the reference's serde whole-model serialisation
+        (``Model::checkpoint``, typetag'd components) — enough for
+        ``from_full_dict`` to rebuild an identical runnable model.
+        """
+        from ..schema import AggregateOp, AggregatorComponent
+        from .graph import NullComponent
+
+        components = []
+        for node, comp in enumerate(self.graph.nodes):
+            if isinstance(comp, NullComponent):
+                components.append({"kind": "null"})
+            elif isinstance(comp, AggregatorComponent):
+                components.append(
+                    {
+                        "kind": "aggregator",
+                        "aggregate_name": comp.aggregate_name,
+                        "unit": comp.unit,
+                        "grid_type": comp.grid_type.value,
+                        "operation": comp.operation.kind,
+                        "weights": list(comp.operation.weights)
+                        if comp.operation.weights
+                        else None,
+                        "contributors": list(comp.contributors),
+                    }
+                )
+            else:
+                params = {}
+                for pname in getattr(comp, "_component_parameters", {}):
+                    value = getattr(comp, pname, None)
+                    if value is not None and not isinstance(
+                        value, (str, bool, int, float, list, tuple)
+                    ):
+                        value = np.asarray(value).tolist()
+                    params[pname] = value
+                components.append(
+                    {
+                        "kind": "component",
+                        "class": type(comp).__name__,
+                        "module": type(comp).__module__,
+                        "params": params,
+                    }
+                )
+
+        edges = [
+            {
+                "src": src,
+                "dst": dst,
+                "name": getattr(payload, "name", ""),
+                "unit": getattr(payload, "unit", ""),
+                "requirement_type": getattr(
+                    payload, "requirement_type", RequirementType.EmptyLink
+                ).value,
+                "grid_type": getattr(payload, "grid_type", GridType.Scalar).value,
+            }
+            for src, dst, payload in self.graph.edges
+        ]
+
+        return {
+            **self.to_dict(),
+            "components": components,
+            "edges": edges,
+            "grid_weights": {gt.value: w for gt, w in self.grid_weights.items()},
+            "read_transforms": {
+                name: {
+                    "variable": t.variable,
+                    "unit": t.unit,
+                    "source_grid": t.source_grid.value,
+                    "target_grid": t.target_grid.value,
+                    "direction": t.direction,
+                }
+                for name, t in self.read_transforms.items()
+            },
+            "write_transforms": {
+                name: {
+                    "variable": t.variable,
+                    "unit": t.unit,
+                    "source_grid": t.source_grid.value,
+                    "target_grid": t.target_grid.value,
+                    "direction": t.direction,
+                }
+                for name, t in self.write_transforms.items()
+            },
+            "unit_conversions": [
+                [var, comp, factor]
+                for (var, comp), factor in self.unit_conversions.items()
+            ],
+            "variable_sources": [
+                [var, comp, source]
+                for (var, comp), source in self.variable_sources.items()
+            ],
+        }
+
+    @staticmethod
+    def from_full_dict(d: dict) -> "Model":
+        import importlib
+
+        from ..schema import AggregateDefinition, AggregateOp, AggregatorComponent
+        from ..time_axis import TimeAxis
+        from .graph import ComponentGraph, NullComponent
+        from .types import RequiredTransformation
+        from ..component import RequirementDefinition
+
+        graph = ComponentGraph()
+        for spec in d["components"]:
+            if spec["kind"] == "null":
+                graph.add_node(NullComponent())
+            elif spec["kind"] == "aggregator":
+                op = (
+                    AggregateOp.weighted(spec["weights"])
+                    if spec["operation"] == "Weighted"
+                    else AggregateOp(spec["operation"])
+                )
+                graph.add_node(
+                    AggregatorComponent(
+                        AggregateDefinition(
+                            spec["aggregate_name"],
+                            spec["unit"],
+                            op,
+                            spec["contributors"],
+                            GridType(spec["grid_type"]),
+                        )
+                    )
+                )
+            else:
+                module = importlib.import_module(spec["module"])
+                cls = getattr(module, spec["class"])
+                graph.add_node(cls(**spec["params"]))
+
+        for edge in d["edges"]:
+            graph.add_edge(
+                edge["src"],
+                edge["dst"],
+                RequirementDefinition(
+                    edge["name"],
+                    edge["unit"],
+                    RequirementType(edge["requirement_type"]),
+                    GridType(edge["grid_type"]),
+                ),
+            )
+
+        def parse_transforms(entry):
+            return {
+                name: RequiredTransformation(
+                    t["variable"],
+                    t["unit"],
+                    GridType(t["source_grid"]),
+                    GridType(t["target_grid"]),
+                    t["direction"],
+                )
+                for name, t in entry.items()
+            }
+
+        model = Model(
+            graph=graph,
+            initial_node=0,
+            collection=TimeseriesCollection.from_dict(d["collection"]),
+            time_axis=TimeAxis.from_dict(d["time_axis"]),
+            grid_weights={
+                GridType(k): v for k, v in d.get("grid_weights", {}).items()
+            },
+            read_transforms=parse_transforms(d.get("read_transforms", {})),
+            write_transforms=parse_transforms(d.get("write_transforms", {})),
+            unit_conversions={
+                (var, comp): factor
+                for var, comp, factor in d.get("unit_conversions", [])
+            },
+            variable_sources={
+                (var, comp): source
+                for var, comp, source in d.get("variable_sources", [])
+            },
+        )
+        model.restore(d)
+        return model
+
+    def to_toml(self) -> str:
+        """Serialise the model to TOML (mirror of ``python/model.rs:224``)."""
+        from rscm_tpu.utils import dumps_toml
+
+        return dumps_toml(_listify(self.to_full_dict()))
+
+    @staticmethod
+    def from_toml(text: str) -> "Model":
+        import tomllib
+
+        return Model.from_full_dict(_detomlify(tomllib.loads(text)))
 
     # -- introspection --------------------------------------------------------
 

@@ -1,0 +1,126 @@
+"""
+Small dense/banded linear-algebra kernels.
+
+Mirror of ``crates/rscm-core/src/utils/linear_algebra.rs``:
+
+- :func:`thomas_solve` — tridiagonal solve (used by the UDEB ocean column's
+  implicit diffusion step).  Host path is straight float64; the traced path
+  runs the same forward sweep / back substitution as a ``lax.scan`` pair —
+  for the ~50-layer ocean columns this sequential solve is tiny and lives
+  inside the fused step program.
+- :func:`invert_4x4` — Gauss-Jordan with partial pivoting (used by the
+  LAMCALC 4x4 coupling-matrix inversion).  The traced path uses
+  ``jnp.linalg.inv`` (equivalent up to pivoting order on well-conditioned
+  LAMCALC matrices).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["thomas_solve", "invert_4x4"]
+
+
+def _is_traced(*xs) -> bool:
+    import jax
+
+    return any(isinstance(x, (jax.Array, jax.core.Tracer)) for x in xs)
+
+
+def thomas_solve(a, b, c, d):
+    """Solve a tridiagonal system (sub-diag a, diag b, super-diag c, rhs d).
+
+    ``a[0]`` and ``c[n-1]`` are ignored.  Returns x with ``len(b)`` entries.
+    """
+    if _is_traced(a, b, c, d):
+        return _thomas_solve_traced(a, b, c, d)
+
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    d = np.asarray(d, dtype=np.float64)
+    n = len(b)
+    assert len(a) == n and len(c) == n and len(d) == n
+    assert n > 0, "System must have at least one equation"
+    assert abs(b[0]) > 1e-15, "Zero pivot encountered at row 0"
+
+    c_prime = np.zeros(n)
+    d_prime = np.zeros(n)
+    c_prime[0] = c[0] / b[0]
+    d_prime[0] = d[0] / b[0]
+    for i in range(1, n):
+        denom = b[i] - a[i] * c_prime[i - 1]
+        assert abs(denom) > 1e-15, f"Zero pivot encountered at row {i}"
+        if i < n - 1:
+            c_prime[i] = c[i] / denom
+        d_prime[i] = (d[i] - a[i] * d_prime[i - 1]) / denom
+
+    x = np.zeros(n)
+    x[n - 1] = d_prime[n - 1]
+    for i in range(n - 2, -1, -1):
+        x[i] = d_prime[i] - c_prime[i] * x[i + 1]
+    return x
+
+
+def _thomas_solve_traced(a, b, c, d):
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    c = jnp.asarray(c)
+    d = jnp.asarray(d)
+    n = b.shape[0]
+
+    # Forward sweep: carry (c'_{i-1}, d'_{i-1})
+    def forward(carry, inputs):
+        c_prev, d_prev = carry
+        a_i, b_i, c_i, d_i = inputs
+        denom = b_i - a_i * c_prev
+        c_new = c_i / denom
+        d_new = (d_i - a_i * d_prev) / denom
+        return (c_new, d_new), (c_new, d_new)
+
+    c0 = c[0] / b[0]
+    d0 = d[0] / b[0]
+    (_, _), (c_rest, d_rest) = lax.scan(
+        forward, (c0, d0), (a[1:], b[1:], c[1:], d[1:])
+    )
+    c_prime = jnp.concatenate([jnp.asarray([c0]), c_rest])
+    d_prime = jnp.concatenate([jnp.asarray([d0]), d_rest])
+
+    # Back substitution: carry x_{i+1}
+    def backward(x_next, inputs):
+        c_i, d_i = inputs
+        x_i = d_i - c_i * x_next
+        return x_i, x_i
+
+    x_last = d_prime[n - 1]
+    _, x_rest = lax.scan(
+        backward, x_last, (c_prime[: n - 1][::-1], d_prime[: n - 1][::-1])
+    )
+    return jnp.concatenate([x_rest[::-1], jnp.asarray([x_last])])
+
+
+def invert_4x4(m):
+    """Invert a 4x4 matrix; host path mirrors the reference's Gauss-Jordan
+    (returns None when singular), traced path uses jnp.linalg.inv."""
+    if _is_traced(m):
+        import jax.numpy as jnp
+
+        return jnp.linalg.inv(jnp.asarray(m))
+
+    m = np.asarray(m, dtype=np.float64)
+    assert m.shape == (4, 4)
+    aug = np.concatenate([m.copy(), np.eye(4)], axis=1)
+    for col in range(4):
+        max_row = col + int(np.argmax(np.abs(aug[col:, col])))
+        if abs(aug[max_row, col]) < 1e-12:
+            return None
+        if max_row != col:
+            aug[[col, max_row]] = aug[[max_row, col]]
+        aug[col] /= aug[col, col]
+        for row in range(4):
+            if row != col:
+                aug[row] -= aug[row, col] * aug[col]
+    return aug[:, 4:].copy()
