@@ -377,10 +377,32 @@ class Component(metaclass=ComponentMeta):
             )
         return cls._registry[name]
 
+    #: accepted alternate spellings for parameters (serde-alias parity)
+    parameter_aliases: ClassVar[dict] = {}
+
     @classmethod
     def from_parameters(cls, parameters: dict):
-        """Construct from a flat parameter dict (builder-macro parity)."""
-        return cls(**parameters)
+        """Construct from a flat parameter dict (builder-macro parity).
+
+        Unknown keys are ignored with a warning — matching the reference's
+        serde deserialisation, which silently drops unrecognised fields
+        (``pythonize::depythonize``, no ``deny_unknown_fields``).
+        """
+        import warnings
+
+        known = cls._component_parameters
+        cleaned = {}
+        for key, value in parameters.items():
+            key = cls.parameter_aliases.get(key, key)
+            if key in known:
+                cleaned[key] = value
+            else:
+                warnings.warn(
+                    f"{cls.__name__}.from_parameters: ignoring unknown parameter "
+                    f"'{key}'",
+                    stacklevel=2,
+                )
+        return cls(**cleaned)
 
     # -- requirement surface (Component trait parity) -----------------------
 

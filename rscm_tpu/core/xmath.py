@@ -80,3 +80,29 @@ def stack(xs):
 def select(pred, on_true, on_false):
     """Branch-free select usable in both modes (alias of where)."""
     return where(pred, on_true, on_false)
+
+
+def push_front(buffer, value):
+    """Shift a 1-D ring buffer right by one and place ``value`` at index 0.
+
+    Newest-first layout; the oldest entry falls off the end.  Used for
+    fixed-length flux histories carried through scans (e.g. the ocean
+    carbon IRF convolution).
+    """
+    if _is_traced(buffer, value):
+        import jax.numpy as jnp
+
+        buffer = jnp.asarray(buffer)
+        return jnp.concatenate(
+            [jnp.reshape(jnp.asarray(value, dtype=buffer.dtype), (1,)), buffer[:-1]]
+        )
+    buffer = np.asarray(buffer, dtype=np.float64)
+    return np.concatenate([[float(value)], buffer[:-1]])
+
+
+def dot(a, b):
+    if _is_traced(a, b):
+        import jax.numpy as jnp
+
+        return jnp.dot(jnp.asarray(a), jnp.asarray(b))
+    return np.dot(a, b)

@@ -1,0 +1,266 @@
+"""
+Ocean carbon uptake: IRF-convolution mixed-layer model with Joos-style
+carbonate chemistry and monthly sub-stepping.
+
+Mirror of ``crates/rscm-magicc/src/carbon/ocean.rs:58-307`` +
+``src/parameters/ocean_carbon.rs`` (3D-GFDL / 2D-BERN / HILDA impulse
+response kernels).
+
+TPU-native treatment of the flux history: the reference's unbounded
+``VecDeque`` becomes a **fixed-length newest-first ring buffer** carried
+through the scan; the IRF convolution is a single dot product against a
+precomputed (static) monthly IRF table, so each monthly sub-step is one
+fused vector op instead of a pointer-chasing loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+from rscm_tpu.components._builder import make_builder
+from rscm_tpu.core import xmath as xm
+from rscm_tpu.core.component import Component, Input, Output, Parameter, State
+
+__all__ = ["IrfForm", "OceanCarbon", "OceanCarbonBuilder", "OCEAN_CARBON_PRESETS"]
+
+PPM_TO_GTC = 2.124
+OCEAN_MICROMOL_PER_PPM_M3_PER_KG = 1.72e17
+
+DELTA_OSPP_OFFSETS = (1.5568, 7.4706, 1.2748, 2.4491, 1.5468)
+DELTA_OSPP_COEFFICIENTS = (-0.013993, -0.20207, -0.12015, -0.12639, -0.15326)
+
+
+@dataclass(frozen=True)
+class IrfForm:
+    """Polynomial or exponential-sum impulse response form."""
+
+    kind: str  # "polynomial" | "exponential_sum"
+    coefficients: tuple
+    timescales: tuple = ()
+
+    def evaluate(self, t: float) -> float:
+        if self.kind == "polynomial":
+            result = 0.0
+            for c in reversed(self.coefficients):
+                result = result * t + c
+            return result
+        return float(
+            sum(
+                a * np.exp(-t / tau)
+                for a, tau in zip(self.coefficients, self.timescales)
+            )
+        )
+
+
+def _poly(*coefficients):
+    return IrfForm("polynomial", tuple(coefficients))
+
+
+def _exp_sum(coefficients, timescales):
+    return IrfForm("exponential_sum", tuple(coefficients), tuple(timescales))
+
+
+# Preset IRF kernels + physical constants (ocean_carbon.rs:108-220)
+OCEAN_CARBON_PRESETS = {
+    "3D-GFDL": dict(
+        gas_exchange_tau=7.66,
+        irf_switch_time=1.0,
+        irf_early=_poly(1.0, -2.2617, 14.002, -48.770, 82.986, -67.527, 21.037),
+        irf_late=_exp_sum(
+            [0.01481, 0.019439, 0.038344, 0.066485, 0.24966, 0.70367],
+            [1.0e10, 347.55, 65.359, 15.281, 2.3488, 0.70177],
+        ),
+        mixed_layer_depth=50.9,
+        ocean_surface_area=3.55e14,
+        sst_pi=17.7,
+    ),
+    "2D-BERN": dict(
+        gas_exchange_tau=7.46,
+        irf_switch_time=9.9,
+        irf_early=_exp_sum(
+            [0.058648, 0.07515, 0.079338, 0.41413, 0.24845, 0.12429],
+            [1.0e10, 9.6218, 9.2364, 0.7603, 0.16294, 0.0032825],
+        ),
+        irf_late=_exp_sum(
+            [0.01369, 0.012456, 0.026933, 0.026994, 0.036608, 0.06738],
+            [1.0e10, 331.54, 107.57, 38.946, 11.677, 10.515],
+        ),
+        mixed_layer_depth=50.0,
+        ocean_surface_area=3.5375e14,
+        sst_pi=18.2997,
+    ),
+    "HILDA": dict(
+        gas_exchange_tau=9.06,
+        irf_switch_time=2.0,
+        irf_early=_exp_sum(
+            [0.12935, 0.24093, 0.24071, 0.17003, 0.21898],
+            [1.0e10, 4.9792, 0.96083, 0.26936, 0.034569],
+        ),
+        irf_late=_exp_sum(
+            [0.022936, 0.035549, 0.037820, 0.089318, 0.13963, 0.24278],
+            [1.0e10, 232.30, 68.736, 18.601, 5.2528, 1.2679],
+        ),
+        mixed_layer_depth=75.0,
+        ocean_surface_area=3.62e14,
+        sst_pi=18.1716,
+    ),
+}
+
+
+class OceanCarbon(Component):
+    """IRF-convolution ocean carbon uptake."""
+
+    tags = ("carbon-cycle", "ocean", "magicc")
+    category = "Carbon Cycle"
+
+    co2_concentration = Input("Atmospheric Concentration|CO2", unit="ppm")
+    sst = Input("Sea Surface Temperature", unit="K")
+    ocean_pco2 = State("Ocean Surface pCO2", unit="ppm")
+    cumulative_uptake = State("Cumulative Ocean Uptake", unit="GtC")
+    air_sea_flux = Output("Carbon Flux|Ocean", unit="GtC/yr")
+
+    model = Parameter(default="3D-GFDL", static=True)
+    co2_pi = Parameter(default=278.0, unit="ppm")
+    pco2_pi = Parameter(default=278.0, unit="ppm")
+    gas_exchange_scale = Parameter(default=1.833492)
+    gas_exchange_tau = Parameter(default=7.66, unit="yr")
+    temp_sensitivity = Parameter(default=0.03717879, unit="1/K")
+    irf_scale = Parameter(default=0.9492864, static=True)
+    mixed_layer_depth = Parameter(default=50.9, unit="m")
+    ocean_surface_area = Parameter(default=3.55e14, unit="m^2")
+    sst_pi = Parameter(default=17.7, unit="degC")
+    steps_per_year = Parameter(default=12, static=True)
+    max_history_months = Parameter(default=6000, static=True)
+    irf_switch_time = Parameter(default=1.0, static=True)
+    irf_early = Parameter(default=OCEAN_CARBON_PRESETS["3D-GFDL"]["irf_early"], static=True)
+    irf_late = Parameter(default=OCEAN_CARBON_PRESETS["3D-GFDL"]["irf_late"], static=True)
+    delta_ospp_offsets = Parameter(default=DELTA_OSPP_OFFSETS, static=True)
+    delta_ospp_coefficients = Parameter(default=DELTA_OSPP_COEFFICIENTS, static=True)
+    enable_temp_feedback = Parameter(default=True, static=True)
+
+    @classmethod
+    def from_parameters(cls, parameters: dict):
+        parameters = dict(parameters)
+        model = parameters.get("model", "3D-GFDL")
+        preset = OCEAN_CARBON_PRESETS.get(model, {})
+        merged = {**preset, "model": model}
+        merged.update(parameters)
+        return cls(**merged)
+
+    # -- kernel helpers (ocean_carbon.rs:222-272) -----------------------------
+
+    def gas_exchange_rate(self):
+        return self.gas_exchange_scale / (self.gas_exchange_tau * 12.0)
+
+    def _scale_irf(self, irf):
+        f = self.irf_scale
+        return (irf * f) / (irf * f + 1.0 - irf)
+
+    def irf(self, t: float) -> float:
+        raw = (
+            self.irf_early.evaluate(t)
+            if t < self.irf_switch_time
+            else self.irf_late.evaluate(t)
+        )
+        return self._scale_irf(raw)
+
+    def irf_table(self) -> np.ndarray:
+        """Static monthly IRF table: irf(k/12) for k = 0..max_history-1."""
+        months = np.arange(self.max_history_months)
+        return np.asarray([self.irf(k / 12.0) for k in months])
+
+    def delta_pco2_from_dic(self, delta_dic):
+        dic_powers = (
+            delta_dic,
+            delta_dic**2 * 1e-3,
+            -(delta_dic**3) * 1e-5,
+            delta_dic**4 * 1e-7,
+            -(delta_dic**5) * 1e-10,
+        )
+        delta_pco2 = 0.0
+        for i, dic_power in enumerate(dic_powers):
+            coeff = (
+                self.delta_ospp_offsets[i]
+                + self.delta_ospp_coefficients[i] * self.sst_pi
+            )
+            delta_pco2 = delta_pco2 + coeff * dic_power
+        return delta_pco2
+
+    def ocean_pco2_value(self, delta_pco2_dic, delta_sst):
+        if self.enable_temp_feedback:
+            temp_factor = xm.exp(self.temp_sensitivity * delta_sst)
+        else:
+            temp_factor = 1.0
+        return (self.pco2_pi + delta_pco2_dic) * temp_factor
+
+    def dic_conversion_factor(self):
+        return OCEAN_MICROMOL_PER_PPM_M3_PER_KG / (
+            self.mixed_layer_depth * self.ocean_surface_area
+        )
+
+    def calculate_flux(self, pco2_atm, pco2_ocn):
+        return self.gas_exchange_rate() * (pco2_atm - pco2_ocn)
+
+    def calculate_delta_dic(self, flux_history):
+        """IRF convolution of a newest-first history (dt = 1 month)."""
+        table = self.irf_table()[: len(flux_history)]
+        return xm.dot(flux_history, table) * self.dic_conversion_factor()
+
+    # -- internal state: fixed ring buffer ------------------------------------
+
+    def create_initial_state(self):
+        return {"flux_history": np.zeros(self.max_history_months)}
+
+    # -- main step (ocean.rs:85-125) -------------------------------------------
+
+    def solve_ocean(self, flux_history, co2_atm, delta_sst, pco2_initial,
+                    cumulative_initial, dt):
+        steps = int(self.steps_per_year)
+        dt_month = dt / steps
+        irf_table = self.irf_table()
+        dic_factor = self.dic_conversion_factor()
+
+        pco2_ocn = pco2_initial
+        cumulative = cumulative_initial
+        total_flux_gtc = 0.0
+
+        for _ in range(steps):
+            flux_ppm = self.calculate_flux(co2_atm, pco2_ocn)
+            flux_history = xm.push_front(flux_history, flux_ppm)
+
+            flux_gtc_yr = flux_ppm * 12.0 * PPM_TO_GTC
+            total_flux_gtc = total_flux_gtc + flux_gtc_yr / steps
+            cumulative = cumulative + flux_gtc_yr * dt_month
+
+            delta_dic = xm.dot(flux_history, irf_table) * dic_factor
+            delta_pco2_dic = self.delta_pco2_from_dic(delta_dic)
+            pco2_ocn = self.ocean_pco2_value(delta_pco2_dic, delta_sst)
+
+        return flux_history, pco2_ocn, cumulative, total_flux_gtc
+
+    def solve_ctx(self, ctx, inputs, internal_state):
+        dt = ctx.t_next - ctx.t_current
+        flux_history = internal_state["flux_history"]
+
+        flux_history, new_pco2, new_cumulative, flux = self.solve_ocean(
+            flux_history,
+            inputs.co2_concentration.get(),
+            inputs.sst.get(),
+            inputs.ocean_pco2.at_start(),
+            inputs.cumulative_uptake.at_start(),
+            dt,
+        )
+        return (
+            self.Outputs(
+                ocean_pco2=new_pco2,
+                cumulative_uptake=new_cumulative,
+                air_sea_flux=flux,
+            ),
+            {"flux_history": flux_history},
+        )
+
+
+OceanCarbonBuilder = make_builder(OceanCarbon)

@@ -1,0 +1,589 @@
+"""
+ClimateUDEB: 4-box atmosphere + 2 x N-layer upwelling-diffusion ocean.
+
+Mirror of ``crates/rscm-magicc/src/climate/udeb/`` (+ ``state.rs``,
+``parameters/climate_udeb.rs``): monthly sub-steps solving an implicit
+tridiagonal diffusion/upwelling system per hemisphere (Thomas solve),
+LAMCALC-derived ocean/land feedbacks with time-varying ECS (cumulative-T
+and forcing feedbacks), depth-dependent ocean area factors, SST->air
+temperature adjustment, ground-heat damping, and variable upwelling.
+
+Round-1 scope: complete host (eager float64) implementation — the
+runtime-LAMCALC + unbounded temperature history make this the one
+component still excluded from the fused scan program; it is flagged
+``traceable = False`` so models containing it execute on the eager path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+import numpy as np
+
+from rscm_tpu.components._builder import make_builder
+from rscm_tpu.core.component import Component, Input, Output, Parameter, State
+from rscm_tpu.core.spatial import FourBoxRegion
+from rscm_tpu.core.state import FourBoxSlice
+from rscm_tpu.utils import thomas_solve
+
+from .lamcalc import LamcalcParams, LamcalcResult, compute_qfrac, lamcalc
+
+__all__ = ["ClimateUDEB", "ClimateUDEBBuilder", "CMIP5_PROFILE_NH", "CMIP5_PROFILE_SH"]
+
+DIFFUSIVITY_CM2S_TO_M2YR = 3155.76
+RHO_SEAWATER = 1026.0
+CP_SEAWATER = 3985.0
+SECONDS_PER_YEAR = 31557600.0
+
+# CMIP5-derived initial ocean temperature profiles (climate_udeb.rs tables)
+CMIP5_PROFILE_NH = (
+    1.89503822e01, 1.58484640e01, 1.27692938e01, 1.11237631e01, 9.93378544e00,
+    8.89700890e00, 8.01173782e00, 7.24060631e00, 6.58022213e00, 5.99888515e00,
+    5.47700644e00, 5.02416515e00, 4.62269211e00, 4.27446032e00, 3.95875454e00,
+    3.70120311e00, 3.47130036e00, 3.26678157e00, 3.08187413e00, 2.93045211e00,
+    2.79141068e00, 2.66952801e00, 2.55478907e00, 2.44816899e00, 2.35198379e00,
+    2.26331019e00, 2.18005610e00, 2.10292435e00, 2.02744699e00, 1.95637441e00,
+    1.89118743e00, 1.82867718e00, 1.76954043e00, 1.71074319e00, 1.65469503e00,
+    1.60236323e00, 1.55269921e00, 1.50864816e00, 1.47147048e00, 1.44045138e00,
+    1.41173756e00, 1.38347185e00, 1.35783422e00, 1.33539736e00, 1.31498563e00,
+    1.29516900e00, 1.27472460e00, 1.25263810e00, 1.22954643e00, 1.20586693e00,
+)
+CMIP5_PROFILE_SH = (
+    1.62849369e01, 1.35041571e01, 1.10637445e01, 9.45342350e00, 8.30402851e00,
+    7.37928152e00, 6.60113478e00, 5.90550613e00, 5.29829597e00, 4.77080584e00,
+    4.31242418e00, 3.93976259e00, 3.62348270e00, 3.35576391e00, 3.11617875e00,
+    2.93644977e00, 2.77795982e00, 2.63738632e00, 2.50925493e00, 2.40222931e00,
+    2.30221725e00, 2.21322107e00, 2.12794638e00, 2.04543614e00, 1.96889246e00,
+    1.89580762e00, 1.82651293e00, 1.75886285e00, 1.69188118e00, 1.62586987e00,
+    1.56049752e00, 1.49373257e00, 1.42720032e00, 1.35796928e00, 1.28947854e00,
+    1.22542751e00, 1.16357803e00, 1.10515058e00, 1.05139232e00, 1.00322735e00,
+    9.58882809e-01, 9.15422320e-01, 8.75476420e-01, 8.43416333e-01, 8.16016912e-01,
+    7.90101945e-01, 7.68699825e-01, 7.51805604e-01, 7.36583769e-01, 7.25481987e-01,
+)
+
+_HYPSOMETRY_DEPTH = (0.0, 200.0, 500.0, 1000.0, 1500.0, 2000.0, 2500.0, 3000.0,
+                     3500.0, 4000.0, 4500.0, 5000.0)
+_HYPSOMETRY_AREA = (1.0, 0.975, 0.95, 0.92, 0.91, 0.87, 0.81, 0.72, 0.55, 0.38,
+                    0.18, 0.05)
+
+
+def heat_capacity_per_unit_area(depth_m: float) -> float:
+    return RHO_SEAWATER * CP_SEAWATER * depth_m / SECONDS_PER_YEAR
+
+
+class ClimateUDEB(Component):
+    """Upwelling-diffusion energy-balance climate model."""
+
+    tags = ("climate", "udeb", "magicc")
+    category = "Climate"
+
+    #: host-path only for now (runtime LAMCALC + unbounded history)
+    traceable = False
+
+    #: common alternate parameter spelling used in MAGICC configs
+    parameter_aliases = {"forcing_2xco2": "rf_2xco2"}
+
+    total_erf = Input("Effective Radiative Forcing", unit="W/m^2")
+    surface_temperature = State("Surface Temperature", unit="K", grid="FourBox")
+    heat_uptake = Output("Heat Uptake", unit="W/m^2")
+    ocean_heat_content = Output("Ocean Heat Content", unit="J/m^2")
+    sst = Output("Sea Surface Temperature", unit="K")
+
+    n_layers = Parameter(default=50, static=True)
+    mixed_layer_depth = Parameter(default=60.0, unit="m")
+    layer_thickness = Parameter(default=100.0, unit="m")
+    kappa = Parameter(default=0.75, unit="cm^2/s")
+    kappa_min = Parameter(default=0.1, unit="cm^2/s")
+    kappa_dkdt = Parameter(default=-0.191)
+    w_initial = Parameter(default=3.5, unit="m/yr")
+    w_variable_fraction = Parameter(default=0.7)
+    w_threshold_temp_nh = Parameter(default=8.0, unit="K")
+    w_threshold_temp_sh = Parameter(default=8.0, unit="K")
+    ecs = Parameter(default=3.0, unit="K")
+    rf_2xco2 = Parameter(default=3.71, unit="W/m^2")
+    rlo = Parameter(default=1.317)
+    feedback_q_sensitivity = Parameter(default=7.84e-9)
+    feedback_cumt_sensitivity = Parameter(default=0.08)
+    feedback_cumt_period = Parameter(default=300.0, unit="yr")
+    k_lo = Parameter(default=1.44, unit="W/m^2/K")
+    k_ns = Parameter(default=0.31, unit="W/m^2/K")
+    amplify_ocean_to_land = Parameter(default=1.02)
+    nh_land_fraction = Parameter(default=0.42)
+    sh_land_fraction = Parameter(default=0.21)
+    depth_dependent_area = Parameter(default=1.0)
+    temp_adjust_alpha = Parameter(default=1.04)
+    temp_adjust_gamma = Parameter(default=-0.002)
+    polar_sinking_ratio = Parameter(default=0.2)
+    land_heat_capacity_enabled = Parameter(default=True, static=True)
+    k_lg = Parameter(default=0.1, unit="W/m^2/K")
+    land_hc_eff_thickness = Parameter(default=300.0, unit="m")
+    rf_regions_co2 = Parameter(default=(1.4089, 1.37045, 1.43333, 1.33257), static=True)
+    efficacy_apply = Parameter(default=0, static=True)
+    prescribed_efficacy_co2 = Parameter(default=1.0)
+    ocean_temp_profile = Parameter(default="CMIP5", static=True)  # "CMIP5" | "Analytical"
+    steps_per_year = Parameter(default=12, static=True)
+    max_temperature = Parameter(default=25.0, unit="K")
+
+    def __init__(self, **params):
+        super().__init__(**params)
+        if self.n_layers < 2:
+            raise ValueError(f"invalid n_layers: must be >= 2, got {self.n_layers}")
+        if not np.isfinite(self.prescribed_efficacy_co2) or self.prescribed_efficacy_co2 <= 0:
+            raise ValueError(
+                "invalid prescribed_efficacy_co2: must be finite and positive, "
+                f"got {self.prescribed_efficacy_co2}"
+            )
+        result = self._run_lamcalc(self.ecs)
+        if result is None:
+            raise ValueError(
+                f"LAMCALC iteration failed to converge for ECS={self.ecs}, RLO={self.rlo}"
+            )
+        self.lambda_ocean = result.lambda_ocean
+        self.lambda_land = result.lambda_land
+        self.matrix_inverse = result.matrix_inverse
+        self.co2_internal_efficacy = result.co2_internal_efficacy
+        area = np.asarray(self.global_box_fractions())
+        self.co2_qfrac = compute_qfrac(self.rf_regions_co2, area)
+        self.af_top, self.af_bottom, self.af_diff = self.compute_area_factors()
+
+    # LAMCALC products are derived state, not sampled parameters
+    def param_pytree(self):
+        return {}
+
+    # -- parameter helpers (climate_udeb.rs impl block) ----------------------
+
+    def _run_lamcalc(self, ecs):
+        fgno, fgnl, fgso, fgsl = self.global_box_fractions()
+        return lamcalc(
+            LamcalcParams(
+                q_2xco2=self.rf_2xco2,
+                k_lo=self.k_lo,
+                k_ns=self.k_ns,
+                ecs=ecs,
+                rlo=self.rlo,
+                amplify_ocean_to_land=self.amplify_ocean_to_land,
+                fgno=fgno,
+                fgnl=fgnl,
+                fgso=fgso,
+                fgsl=fgsl,
+                rf_regions_co2=tuple(self.rf_regions_co2),
+            )
+        )
+
+    def kappa_m2_per_yr(self):
+        return self.kappa * DIFFUSIVITY_CM2S_TO_M2YR
+
+    def kappa_min_m2_per_yr(self):
+        return self.kappa_min * DIFFUSIVITY_CM2S_TO_M2YR
+
+    def lambda_global(self):
+        return self.rf_2xco2 / self.ecs
+
+    def global_box_fractions(self):
+        fgnl = self.nh_land_fraction / 2.0
+        fgno = 0.5 - fgnl
+        fgsl = self.sh_land_fraction / 2.0
+        fgso = 0.5 - fgsl
+        return (fgno, fgnl, fgso, fgsl)
+
+    def ocean_area_at_depth(self, depth_m: float) -> float:
+        hydro = float(
+            np.interp(depth_m, _HYPSOMETRY_DEPTH, _HYPSOMETRY_AREA)
+        )
+        return 1.0 + self.depth_dependent_area * (hydro - 1.0)
+
+    def compute_area_factors(self):
+        n = self.n_layers
+        af_top, af_bottom, af_diff = [], [], []
+        for layer in range(n):
+            if layer == 0:
+                z_top, z_bottom = 0.0, self.mixed_layer_depth
+            else:
+                z_top = self.mixed_layer_depth + (layer - 1) * self.layer_thickness
+                z_bottom = z_top + self.layer_thickness
+            a_top = self.ocean_area_at_depth(z_top)
+            a_bottom = self.ocean_area_at_depth(z_bottom)
+            a_avg = (a_top + a_bottom) / 2.0
+            af_top.append(a_top / a_avg)
+            af_bottom.append(a_bottom / a_avg)
+            af_diff.append((a_top - a_bottom) / a_avg)
+        return np.asarray(af_top), np.asarray(af_bottom), np.asarray(af_diff)
+
+    def mixed_layer_heat_capacity(self):
+        return heat_capacity_per_unit_area(self.mixed_layer_depth)
+
+    def ground_heat_capacity(self):
+        return heat_capacity_per_unit_area(self.land_hc_eff_thickness)
+
+    def initial_ocean_profile(self, hemi: int) -> np.ndarray:
+        assert hemi in (0, 1)
+        if self.ocean_temp_profile == "CMIP5":
+            cmip5 = CMIP5_PROFILE_NH if hemi == 0 else CMIP5_PROFILE_SH
+            profile = np.empty(self.n_layers)
+            for i in range(self.n_layers):
+                profile[i] = cmip5[i] if i < len(cmip5) else cmip5[-1]
+            return profile
+        # analytical exponential profile
+        t_mix, t_polar = 17.2, 1.0
+        kappa = self.kappa_m2_per_yr()
+        profile = np.empty(self.n_layers)
+        profile[0] = t_mix
+        for layer in range(1, self.n_layers):
+            depth = (layer - 1.0) * self.layer_thickness + 0.5 * self.layer_thickness
+            profile[layer] = t_polar + (t_mix - t_polar) * math.exp(
+                -self.w_initial * depth / kappa
+            )
+        return profile
+
+    # -- internal state (climate/state.rs) ------------------------------------
+
+    def create_initial_state(self):
+        profiles = [self.initial_ocean_profile(0), self.initial_ocean_profile(1)]
+        return {
+            "ocean_temps": np.zeros((2, self.n_layers)),
+            "upwelling_rates": np.array([self.w_initial, self.w_initial]),
+            "temperature_history": [],
+            "dt_history": [],
+            "land_temps": np.zeros(2),
+            "ground_temps": np.zeros(2),
+            "alpha_eff": np.array([self.temp_adjust_alpha, self.temp_adjust_alpha]),
+            "hemi_heat_exchange": np.zeros(2),
+            "initial_ocean_profile": np.stack(profiles),
+            "polar_sinking_temp": 1.0,
+            "mixed_layer_initial_temp": float(profiles[0][0]),
+        }
+
+    # -- physics pieces (udeb/mod.rs, udeb/ocean_column.rs) --------------------
+
+    def apply_efficacy_and_qfrac(self, erf, co2_efficacy):
+        if self.efficacy_apply == 1:
+            erf_adjusted = erf * self.prescribed_efficacy_co2
+        elif self.efficacy_apply == 2 and np.isfinite(co2_efficacy) and co2_efficacy > 0:
+            erf_adjusted = erf * self.prescribed_efficacy_co2 / co2_efficacy
+        else:
+            erf_adjusted = erf
+        return np.asarray([erf_adjusted * q for q in self.co2_qfrac])
+
+    def adjusted_ecs(self, global_forcing, state):
+        cumt_2x = self.ecs * self.feedback_cumt_period
+        period = self.feedback_cumt_period
+        history = state["temperature_history"]
+        dts = state["dt_history"]
+
+        cum_t = 0.0
+        if history:
+            years_remaining = period
+            for i in range(len(history) - 1, -1, -1):
+                if years_remaining <= 0.0:
+                    break
+                dt = dts[i]
+                if dt <= years_remaining:
+                    cum_t += history[i]
+                    years_remaining -= dt
+                else:
+                    cum_t += history[i] * (years_remaining / dt)
+                    years_remaining = 0.0
+
+        cumt_factor = (
+            1.0 + self.feedback_cumt_sensitivity * (cum_t - cumt_2x) / cumt_2x
+            if abs(cumt_2x) > 1e-15
+            else 1.0
+        )
+        q_factor = 1.0 + self.feedback_q_sensitivity * (
+            max(global_forcing, 0.0) - self.rf_2xco2
+        )
+        return self.ecs * cumt_factor * q_factor
+
+    def calculate_land_temperature(self, ocean_temp, land_forcing, land_fraction,
+                                   lambda_land):
+        numerator = land_forcing * land_fraction + self.k_lo * self.amplify_ocean_to_land * ocean_temp
+        denominator = lambda_land * land_fraction + self.k_lo
+        return min(numerator / denominator, self.max_temperature)
+
+    def sst_to_air_temperature(self, sst):
+        alpha, gamma = self.temp_adjust_alpha, self.temp_adjust_gamma
+        t_star = -(alpha - 1.0) / (2.0 * gamma) if abs(gamma) > 1e-15 else math.inf
+        if sst < t_star:
+            return alpha * sst + gamma * sst * sst
+        delta_max = alpha * t_star + gamma * t_star * t_star - t_star
+        return sst + delta_max
+
+    def layer_diffusivities(self, state, hemi):
+        n = self.n_layers
+        dz = self.layer_thickness
+        total_depth = self.mixed_layer_depth + (n - 1.0) * dz
+        t_top = state["ocean_temps"][hemi][0]
+        t_bottom = state["ocean_temps"][hemi][n - 1]
+        kappa_min = self.kappa_min_m2_per_yr()
+
+        depths = self.mixed_layer_depth + np.arange(n - 1) * dz
+        relative_depth = depths / total_depth
+        k = (
+            (1.0 - relative_depth) * self.kappa_dkdt * (t_top - t_bottom) + self.kappa
+        ) * DIFFUSIVITY_CM2S_TO_M2YR
+        return np.maximum(k, kappa_min)
+
+    def step_hemisphere(self, state, hemi, forcing, dt, lambda_ocean, lambda_land,
+                        hemi_heat_exchange, ground_temp, alpha_eff):
+        """One monthly implicit ocean-column step (ocean_column.rs:81-240)."""
+        n = self.n_layers
+        kappas = self.layer_diffusivities(state, hemi)
+        w = state["upwelling_rates"][hemi]
+        dz = self.layer_thickness
+        dz_mix = self.mixed_layer_depth
+        pi_ratio = self.polar_sinking_ratio
+        af_top, af_bot, af_diff = self.af_top, self.af_bottom, self.af_diff
+        c_mix = self.mixed_layer_heat_capacity()
+
+        f_l_hemi = (self.nh_land_fraction if hemi == 0 else self.sh_land_fraction) / 2.0
+        f_o_hemi = 0.5 - f_l_hemi
+        denominator = f_o_hemi * (self.k_lo + f_l_hemi * lambda_land)
+
+        term_feedback = alpha_eff / c_mix * (
+            lambda_ocean
+            + lambda_land * self.k_lo * self.amplify_ocean_to_land * f_l_hemi / denominator
+        )
+
+        dz1 = dz / 2.0
+        term_diff = kappas[0] / (dz_mix * dz1) * dt
+        term_upwell = w / dz_mix * dt
+        forcing_amp = 1.0 + self.k_lo * f_l_hemi / denominator
+
+        a = np.zeros(n)
+        b = np.zeros(n)
+        c = np.zeros(n)
+        d = np.zeros(n)
+
+        temps = state["ocean_temps"][hemi]
+
+        b[0] = (
+            1.0
+            + term_feedback * dt * af_top[0]
+            + term_diff * af_bot[0]
+            + term_upwell * pi_ratio * af_bot[0]
+        )
+        c[0] = -(term_diff + term_upwell) * af_bot[0]
+        d[0] = temps[0] + (forcing * forcing_amp + hemi_heat_exchange) / c_mix * dt * af_top[0]
+
+        if self.land_heat_capacity_enabled:
+            land_temp = state["land_temps"][hemi]
+            d[0] -= (
+                self.k_lg * (land_temp - ground_temp) / (c_mix * f_o_hemi) * dt * af_top[0]
+            )
+
+        for i in range(1, n - 1):
+            dz_up = dz1 if i == 1 else dz
+            term_diff_up = kappas[i - 1] / (dz * dz_up) * dt
+            term_diff_down = kappas[i] / (dz * dz) * dt
+            term_upwell_layer = w / dz * dt
+            a[i] = -term_diff_up * af_top[i]
+            b[i] = (
+                1.0
+                + term_diff_up * af_top[i]
+                + term_diff_down * af_bot[i]
+                + term_upwell_layer * af_top[i]
+            )
+            c[i] = -(term_diff_down + term_upwell_layer) * af_bot[i]
+            d[i] = temps[i] + pi_ratio * term_upwell_layer * temps[0] * af_diff[i]
+
+        term_diff_up = kappas[n - 2] / (dz * dz) * dt
+        term_upwell_bottom = w / dz * dt
+        a[n - 1] = -term_diff_up * af_top[n - 1]
+        b[n - 1] = 1.0 + (term_diff_up + term_upwell_bottom) * af_top[n - 1]
+        d[n - 1] = temps[n - 1] + pi_ratio * term_upwell_bottom * temps[0] * af_top[n - 1]
+
+        delta_w = w - self.w_initial
+        if abs(delta_w) > 1e-15:
+            init = state["initial_ocean_profile"][hemi]
+            t_polar = state["polar_sinking_temp"]
+            d[0] += dt / dz_mix * delta_w * (init[1] - t_polar) * af_bot[0]
+            dt_per_dz = dt / dz
+            for i in range(1, n - 1):
+                d[i] += dt_per_dz * delta_w * (init[i + 1] * af_bot[i] - init[i] * af_top[i])
+                d[i] += dt_per_dz * delta_w * t_polar * af_diff[i]
+            d[n - 1] += dt_per_dz * delta_w * (t_polar - init[n - 1]) * af_top[n - 1]
+
+        new_temps = thomas_solve(a, b, c, d)
+        state["ocean_temps"][hemi] = np.minimum(new_temps, self.max_temperature)
+        return state["ocean_temps"][hemi][0]
+
+    def update_upwelling(self, state, global_temp):
+        w_0 = self.w_initial
+        f_var = self.w_variable_fraction
+        w_min = w_0 * (1.0 - f_var)
+        for hemi, t_thresh in enumerate([self.w_threshold_temp_nh, self.w_threshold_temp_sh]):
+            w = w_0 * (1.0 - f_var * min(global_temp / t_thresh, 1.0))
+            state["upwelling_rates"][hemi] = max(w, w_min)
+
+    def calculate_heat_uptake(self, forcing, temperature, lambda_ocean, lambda_land):
+        weights = np.asarray(self.global_box_fractions())
+        lambdas = np.array([lambda_ocean, lambda_land, lambda_ocean, lambda_land])
+        q_global = float(np.dot(weights, forcing))
+        feedback_global = float(np.dot(weights, lambdas * np.asarray(temperature)))
+        return q_global - feedback_global
+
+    def calculate_ocean_heat_content(self, state):
+        rho_c = RHO_SEAWATER * CP_SEAWATER
+        total = 0.0
+        for hemi in range(2):
+            temps = state["ocean_temps"][hemi]
+            total += rho_c * self.mixed_layer_depth * temps[0]
+            total += rho_c * self.layer_thickness * float(np.sum(temps[1:]))
+        return total / 2.0
+
+    # -- main solve (udeb/mod.rs:399-470) ---------------------------------------
+
+    def solve_ctx(self, ctx, inputs, internal_state):
+        state = internal_state
+
+        erf_start = float(inputs.total_erf.at_start())
+        erf_end = inputs.total_erf.at_end()
+        erf_end = erf_start if erf_end is None or np.isnan(erf_end) else float(erf_end)
+        # When ERF is endogenous (e.g. a schema aggregate) its value at the
+        # first step start is still unset; fall back to the end-of-step value
+        # rather than poisoning the ocean column with NaN (the reference
+        # panics on this wiring — "Zero pivot" in thomas_solve).
+        if np.isnan(erf_start):
+            erf_start = erf_end
+        steps = int(self.steps_per_year)
+
+        prev_temp = [
+            float(inputs.surface_temperature.at_start(region))
+            for region in (
+                FourBoxRegion.NorthernOcean,
+                FourBoxRegion.NorthernLand,
+                FourBoxRegion.SouthernOcean,
+                FourBoxRegion.SouthernLand,
+            )
+        ]
+
+        # resume support: seed ocean/land temps from a restored collection
+        if (
+            state["ocean_temps"][0][0] == 0.0
+            and prev_temp[0] != 0.0
+            and not any(np.isnan(prev_temp))
+        ):
+            state["ocean_temps"][0][0] = prev_temp[0]
+            state["ocean_temps"][1][0] = prev_temp[2]
+            state["land_temps"][0] = prev_temp[1]
+            state["land_temps"][1] = prev_temp[3]
+            state["ground_temps"][0] = state["land_temps"][0]
+            state["ground_temps"][1] = state["land_temps"][1]
+
+        dt_year = float(ctx.t_next) - float(ctx.t_current)
+        dt_sub = dt_year / steps
+
+        erf_mid = (erf_start + erf_end) / 2.0
+        adjusted_ecs = self.adjusted_ecs(erf_mid, state)
+
+        if abs(adjusted_ecs - self.ecs) > 1e-10:
+            result = self._run_lamcalc(adjusted_ecs)
+            if result is None:
+                result = LamcalcResult(
+                    self.lambda_ocean,
+                    self.lambda_land,
+                    self.matrix_inverse,
+                    self.co2_internal_efficacy,
+                )
+            current_lambda_ocean = result.lambda_ocean
+            current_lambda_land = result.lambda_land
+            current_co2_efficacy = result.co2_internal_efficacy
+        else:
+            current_lambda_ocean = self.lambda_ocean
+            current_lambda_land = self.lambda_land
+            current_co2_efficacy = self.co2_internal_efficacy
+
+        fgno, fgnl, fgso, fgsl = self.global_box_fractions()
+        c_ground = self.ground_heat_capacity() if self.land_heat_capacity_enabled else 0.0
+        alpha_eff_nh, alpha_eff_sh = state["alpha_eff"][0], state["alpha_eff"][1]
+
+        for step_idx in range(1, steps + 1):
+            frac = step_idx / steps
+            erf = erf_start + frac * (erf_end - erf_start)
+            forcing = self.apply_efficacy_and_qfrac(erf, current_co2_efficacy)
+
+            if self.land_heat_capacity_enabled:
+                for hemi, f_l in enumerate([fgnl, fgsl]):
+                    if f_l < 1e-15:
+                        continue
+                    flux = self.k_lg * (
+                        state["land_temps"][hemi] - state["ground_temps"][hemi]
+                    )
+                    state["ground_temps"][hemi] += flux / (f_l * c_ground) * dt_sub
+
+            nh_ground, sh_ground = state["ground_temps"][0], state["ground_temps"][1]
+
+            sst_nh = self.step_hemisphere(
+                state, 0, forcing[0], dt_sub, current_lambda_ocean,
+                current_lambda_land, state["hemi_heat_exchange"][0], nh_ground,
+                alpha_eff_nh,
+            )
+            sst_sh = self.step_hemisphere(
+                state, 1, forcing[2], dt_sub, current_lambda_ocean,
+                current_lambda_land, state["hemi_heat_exchange"][1], sh_ground,
+                alpha_eff_sh,
+            )
+
+            t_air_nho = self.sst_to_air_temperature(sst_nh)
+            t_air_sho = self.sst_to_air_temperature(sst_sh)
+            state["land_temps"][0] = self.calculate_land_temperature(
+                t_air_nho, forcing[1], fgnl, current_lambda_land
+            )
+            state["land_temps"][1] = self.calculate_land_temperature(
+                t_air_sho, forcing[3], fgsl, current_lambda_land
+            )
+
+            if fgno > 1e-15:
+                state["hemi_heat_exchange"][0] = self.k_ns / fgno * (t_air_sho - t_air_nho)
+            if fgso > 1e-15:
+                state["hemi_heat_exchange"][1] = self.k_ns / fgso * (t_air_nho - t_air_sho)
+
+            global_temp = (
+                t_air_nho * fgno
+                + state["land_temps"][0] * fgnl
+                + t_air_sho * fgso
+                + state["land_temps"][1] * fgsl
+            )
+            self.update_upwelling(state, global_temp)
+
+        sst_nh = state["ocean_temps"][0][0]
+        sst_sh = state["ocean_temps"][1][0]
+
+        alpha = self.temp_adjust_alpha
+        state["alpha_eff"][0] = (
+            alpha if abs(sst_nh) < 1e-15 else self.sst_to_air_temperature(sst_nh) / sst_nh
+        )
+        state["alpha_eff"][1] = (
+            alpha if abs(sst_sh) < 1e-15 else self.sst_to_air_temperature(sst_sh) / sst_sh
+        )
+
+        t_air_nho = self.sst_to_air_temperature(sst_nh)
+        t_air_sho = self.sst_to_air_temperature(sst_sh)
+        surface_temperature = np.array(
+            [t_air_nho, state["land_temps"][0], t_air_sho, state["land_temps"][1]]
+        )
+
+        global_temp = float(np.dot(surface_temperature, [fgno, fgnl, fgso, fgsl]))
+        state["temperature_history"].append(global_temp * dt_year)
+        state["dt_history"].append(dt_year)
+
+        forcing_end = self.apply_efficacy_and_qfrac(erf_end, current_co2_efficacy)
+        heat_uptake = self.calculate_heat_uptake(
+            forcing_end, surface_temperature, current_lambda_ocean, current_lambda_land
+        )
+        ocean_heat_content = self.calculate_ocean_heat_content(state)
+        sst = (sst_nh + sst_sh) / 2.0
+
+        return (
+            self.Outputs(
+                surface_temperature=FourBoxSlice.from_array(surface_temperature),
+                heat_uptake=heat_uptake,
+                ocean_heat_content=ocean_heat_content,
+                sst=sst,
+            ),
+            state,
+        )
+
+
+ClimateUDEBBuilder = make_builder(ClimateUDEB)

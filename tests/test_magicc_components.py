@@ -1,0 +1,386 @@
+"""MAGICC component unit tests — physics invariants mirroring the
+reference's inline tests in ``crates/rscm-magicc/src/``."""
+
+import numpy as np
+import pytest
+
+from rscm_tpu.magicc import (
+    AerosolDirect,
+    AerosolIndirect,
+    CH4Chemistry,
+    ClimateUDEB,
+    ClimateUDEBBuilder,
+    CO2Budget,
+    ForcingMethod,
+    GhgForcing,
+    HalocarbonChemistry,
+    N2OChemistry,
+    OceanCarbon,
+    OzoneForcing,
+    TerrestrialCarbon,
+)
+
+
+class TestGhgForcing:
+    def _ipcctar(self):
+        return GhgForcing(method=ForcingMethod.Ipcctar, adjust_co2=1.0,
+                          adjust_ch4=1.0, adjust_n2o=1.0)
+
+    def _olbl(self):
+        return GhgForcing(method=ForcingMethod.Olbl, adjust_co2=1.0,
+                          adjust_ch4=1.0, adjust_n2o=1.0)
+
+    def test_ipcctar_co2(self):
+        c = self._ipcctar()
+        assert abs(c.calculate_co2_forcing(278.0, 270.0)) < 1e-10
+        assert c.calculate_co2_forcing(556.0, 270.0) == pytest.approx(3.71, abs=0.01)
+        # logarithmic: 4x = 2 * 2x
+        f2x = c.calculate_co2_forcing(556.0, 270.0)
+        f4x = c.calculate_co2_forcing(1112.0, 270.0)
+        assert f4x == pytest.approx(2 * f2x, abs=0.01)
+
+    def test_ipcctar_ch4_n2o(self):
+        c = self._ipcctar()
+        assert abs(c.calculate_ch4_forcing(722.0, 270.0)) < 1e-10
+        assert c.calculate_ch4_forcing(1900.0, 270.0) > 0.0
+        assert abs(c.calculate_n2o_forcing(278.0, 722.0, 270.0)) < 1e-10
+        assert c.calculate_n2o_forcing(278.0, 722.0, 330.0) > 0.0
+
+    def test_olbl_zero_at_pi(self):
+        c = self._olbl()
+        assert abs(c.calculate_co2_forcing(278.0, 270.0)) < 1e-10
+        assert abs(c.calculate_ch4_forcing(722.0, 270.0)) < 1e-10
+        assert abs(c.calculate_n2o_forcing(278.0, 722.0, 270.0)) < 1e-10
+
+    def test_olbl_modern_values(self):
+        """OLBL at ~2019 concentrations gives AR6-like forcing magnitudes."""
+        c = self._olbl()
+        f_co2 = c.calculate_co2_forcing(410.0, 332.0)
+        f_ch4 = c.calculate_ch4_forcing(1866.0, 332.0)
+        f_n2o = c.calculate_n2o_forcing(410.0, 1866.0, 332.0)
+        assert 1.8 < f_co2 < 2.6
+        assert 0.4 < f_ch4 < 0.8
+        assert 0.1 < f_n2o < 0.35
+
+    def test_adjust_scaling(self):
+        default = GhgForcing()  # OLBL with adjust 1.05/0.86/1.0
+        raw = self._olbl()
+        co2_adj, _, _ = default.calculate_forcings(400.0, 1800.0, 320.0)
+        co2_raw, _, _ = raw.calculate_forcings(400.0, 1800.0, 320.0)
+        assert co2_adj == pytest.approx(1.05 * co2_raw)
+
+
+class TestCH4Chemistry:
+    def test_steady_state_near_pi(self):
+        c = CH4Chemistry()
+        # burden/lifetime balance: emissions that hold concentration constant
+        pi = c.ch4_pi
+        new_conc, lifetime = c.solve_concentration(pi, pi, 0.0, 0.0, 0.0, 0.0, 0.0)
+        assert 5.0 < lifetime < 12.0
+        # with natural emissions only, drift should be small relative to pi
+        assert abs(new_conc - pi) / pi < 0.1
+
+    def test_higher_emissions_give_higher_concentration(self):
+        c = CH4Chemistry()
+        low, _ = c.solve_concentration(1800.0, 1800.0, 100.0, 0.0, 0, 0, 0)
+        high, _ = c.solve_concentration(1800.0, 1800.0, 500.0, 0.0, 0, 0, 0)
+        assert high > low
+
+    def test_self_feedback_lengthens_lifetime(self):
+        c = CH4Chemistry()
+        _, tau_pi = c.solve_concentration(722.0, 722.0, 0.0, 0.0, 0, 0, 0)
+        _, tau_high = c.solve_concentration(2000.0, 2000.0, 300.0, 0.0, 0, 0, 0)
+        assert tau_high > tau_pi  # negative self-feedback exponent, ratio > 1
+
+    def test_temperature_feedback_shortens_lifetime(self):
+        c = CH4Chemistry()
+        _, tau_cold = c.solve_concentration(1800.0, 1800.0, 300.0, 0.0, 0, 0, 0)
+        _, tau_warm = c.solve_concentration(1800.0, 1800.0, 300.0, 2.0, 0, 0, 0)
+        assert tau_warm < tau_cold
+
+
+class TestN2OChemistry:
+    def test_steady_state_at_pi(self):
+        c = N2OChemistry()
+        new_conc, lifetime = c.solve_concentration(270.0, 270.0, 270.0, 0.0, 1.0)
+        assert lifetime == pytest.approx(c.tau_n2o, rel=0.01)
+        assert abs(new_conc - 270.0) / 270.0 < 0.05
+
+    def test_lifetime_decreases_with_concentration(self):
+        c = N2OChemistry()
+        b_ref = c.n2o_pi * c.ppb_to_tg
+        tau_hi = c.calculate_effective_lifetime(330.0 * c.ppb_to_tg, b_ref)
+        assert tau_hi < c.tau_n2o
+
+    def test_emissions_increase_concentration(self):
+        c = N2OChemistry()
+        low, _ = c.solve_concentration(320.0, 320.0, 320.0, 0.0, 1.0)
+        high, _ = c.solve_concentration(320.0, 320.0, 320.0, 10.0, 1.0)
+        assert high > low
+
+
+class TestHalocarbons:
+    def test_exponential_decay_no_emissions(self):
+        c = HalocarbonChemistry()
+        cf4 = c.get_species("CF4")
+        new = c.decay_species(cf4, 100.0, 0.0, 1.0)
+        assert new == pytest.approx(100.0 * np.exp(-1.0 / 50000.0))
+
+    def test_short_lived_species_decays_fast(self):
+        c = HalocarbonChemistry()
+        ch3br = c.get_species("CH3Br")  # lifetime 0.8 yr
+        new = c.decay_species(ch3br, 10.0, 0.0, 1.0)
+        assert new < 10.0 * 0.4
+
+    def test_forcing_zero_at_pi(self):
+        c = HalocarbonChemistry()
+        cfc11 = c.get_species("CFC-11")
+        assert c.species_forcing(cfc11, cfc11.concentration_pi) == 0.0
+        assert c.species_forcing(cfc11, cfc11.concentration_pi + 1000.0) == pytest.approx(
+            1000.0 * 0.295 / 1000.0
+        )
+
+    def test_species_counts(self):
+        c = HalocarbonChemistry()
+        assert sum(1 for s in c.species if s.group == "fgas") == 23
+        assert sum(1 for s in c.species if s.group == "montreal") == 18
+
+    def test_eesc_counts_halogens(self):
+        c = HalocarbonChemistry()
+        tables = c._tables()
+        conc = tables["conc_pi"].copy()
+        # Add CFC-11 (3 Cl, release 0.47 == normalisation -> 1.0 factor)
+        idx = [s.name for s in c.species].index("CFC-11")
+        conc[idx] += 100.0
+        baseline = float(c.eesc_vector(tables["conc_pi"], tables).sum())
+        raised = float(c.eesc_vector(conc, tables).sum())
+        assert raised - baseline == pytest.approx(100.0 * 3.0)
+
+
+class TestOzone:
+    def test_strat_forcing(self):
+        c = OzoneForcing()
+        assert c.calculate_strat_forcing(c.eesc_reference) == 0.0
+        assert c.calculate_strat_forcing(c.eesc_reference - 500.0) == 0.0
+        f1 = c.calculate_strat_forcing(c.eesc_reference + 200.0)
+        f2 = c.calculate_strat_forcing(c.eesc_reference + 400.0)
+        assert f1 < 0.0 and f2 < f1
+        assert f2 / f1 == pytest.approx(2.0**1.7, abs=0.01)
+
+    def test_trop_forcing_components(self):
+        c = OzoneForcing()
+        assert c.calculate_trop_forcing(c.ch4_pi, 0, 0, 0) == pytest.approx(0.0)
+        assert c.calculate_trop_forcing(1800.0, 40.0, 800.0, 200.0) > 0.0
+
+    def test_temp_feedback(self):
+        c = OzoneForcing()
+        assert c.calculate_temp_feedback(1.0) == pytest.approx(-0.037)
+
+
+class TestAerosols:
+    def test_direct_species_signs(self):
+        c = AerosolDirect()
+        species = c.calculate_species_forcing(c.sox_pi + 50.0, c.bc_pi, c.oc_pi, c.nox_pi)
+        assert species["sox"] < 0.0
+        species = c.calculate_species_forcing(c.sox_pi, c.bc_pi + 5.0, c.oc_pi, c.nox_pi)
+        assert species["bc"] > 0.0
+
+    def test_direct_regional_distribution_sums_to_global(self):
+        c = AerosolDirect()
+        regional = c.calculate_forcing(60.0, 8.0, 30.0, 40.0)
+        total = c.calculate_global_forcing(60.0, 8.0, 30.0, 40.0)
+        # regional values weight-average (0.25 each) to... NO: they sum via
+        # pattern fractions; the four regional entries are total * pattern_i
+        # where sum(pattern_i) == 1, so the unweighted SUM equals the global.
+        assert float(np.sum(regional.as_array())) == pytest.approx(total)
+
+    def test_direct_zero_at_pi(self):
+        c = AerosolDirect()
+        regional = c.calculate_forcing(c.sox_pi, c.bc_pi, c.oc_pi, c.nox_pi)
+        np.testing.assert_allclose(regional.as_array(), 0.0, atol=1e-12)
+
+    def test_indirect(self):
+        c = AerosolIndirect()
+        assert c.calculate_forcing(c.sox_pi, c.oc_pi) == 0.0
+        assert c.calculate_forcing(c.sox_pi + 50.0, c.oc_pi + 20.0) < 0.0
+        # below PI -> clamped to zero
+        assert c.calculate_forcing(0.0, 0.0) == 0.0
+
+
+class TestTerrestrialCarbon:
+    def test_steady_state_at_pi(self):
+        c = TerrestrialCarbon()
+        pools = (c.plant_pool_pi, c.detritus_pool_pi, c.soil_pool_pi, c.humus_pool_pi)
+        new_pools, net_flux = c.solve_pools(c.co2_pi, 0.0, 0.0, pools, 1.0)
+        for old, new in zip(pools, new_pools):
+            assert abs(new - old) / old < 0.05
+        assert abs(net_flux) < 1.0
+
+    def test_fertilization(self):
+        c = TerrestrialCarbon()
+        assert c.fertilization_factor(c.co2_pi) == pytest.approx(1.0)
+        assert c.fertilization_factor(2 * c.co2_pi) == pytest.approx(
+            1.0 + c.beta * np.log(2.0), abs=0.01
+        )
+
+    def test_co2_increase_drives_uptake(self):
+        c = TerrestrialCarbon()
+        pools = (c.plant_pool_pi, c.detritus_pool_pi, c.soil_pool_pi, c.humus_pool_pi)
+        _, flux_pi = c.solve_pools(c.co2_pi, 0.0, 0.0, pools, 1.0)
+        _, flux_high = c.solve_pools(1.5 * c.co2_pi, 0.0, 0.0, pools, 1.0)
+        assert flux_high > flux_pi  # fertilization drives net uptake
+
+    def test_warming_drives_respiration(self):
+        c = TerrestrialCarbon()
+        pools = (c.plant_pool_pi, c.detritus_pool_pi, c.soil_pool_pi, c.humus_pool_pi)
+        _, flux_0 = c.solve_pools(c.co2_pi, 0.0, 0.0, pools, 1.0)
+        _, flux_warm = c.solve_pools(c.co2_pi, 3.0, 0.0, pools, 1.0)
+        assert flux_warm < flux_0
+
+
+class TestOceanCarbon:
+    def test_flux_law(self):
+        c = OceanCarbon()
+        assert c.calculate_flux(c.pco2_pi, c.pco2_pi) == 0.0
+        assert c.calculate_flux(c.pco2_pi + 100.0, c.pco2_pi) > 0.0
+        f50 = c.calculate_flux(c.pco2_pi + 50.0, c.pco2_pi)
+        f100 = c.calculate_flux(c.pco2_pi + 100.0, c.pco2_pi)
+        assert f100 / f50 == pytest.approx(2.0)
+
+    def test_delta_dic_convolution(self):
+        c = OceanCarbon()
+        empty = np.zeros(c.max_history_months)
+        assert c.calculate_delta_dic(empty) == 0.0
+        one_year = empty.copy()
+        one_year[:12] = 1.0
+        five_years = empty.copy()
+        five_years[:60] = 1.0
+        assert 0.0 < c.calculate_delta_dic(one_year) < c.calculate_delta_dic(five_years)
+
+    def test_irf_decreases(self):
+        c = OceanCarbon()
+        assert c.irf(0.0) > c.irf(1.0) > c.irf(10.0) > c.irf(100.0)
+        assert c.irf(0.0) == pytest.approx(1.0, abs=0.1)
+
+    def test_uptake_under_elevated_co2(self):
+        c = OceanCarbon()
+        state = c.create_initial_state()
+        flux_history, pco2, cumulative, flux = c.solve_ocean(
+            state["flux_history"], 400.0, 0.0, c.pco2_pi, 0.0, 1.0
+        )
+        assert flux > 0.0
+        assert cumulative > 0.0
+        assert pco2 > c.pco2_pi  # ocean pCO2 rises as DIC accumulates
+
+    def test_presets(self):
+        for model in ("3D-GFDL", "2D-BERN", "HILDA"):
+            c = OceanCarbon.from_parameters({"model": model})
+            assert c.irf(5.0) > 0.0
+
+
+class TestCO2Budget:
+    def test_mass_conservation(self):
+        c = CO2Budget()
+        co2_next, net, af = c.solve_budget(10.0, 0.0, 2.0, 2.0, 400.0, 1.0)
+        assert net == pytest.approx(6.0)
+        assert co2_next - 400.0 == pytest.approx(6.0 / c.gtc_per_ppm)
+        assert af == pytest.approx(0.6)
+
+    def test_zero_emissions_airborne_fraction(self):
+        c = CO2Budget()
+        _, _, af = c.solve_budget(0.0, 0.0, 1.0, 1.0, 400.0, 1.0)
+        assert af == 0.0
+
+
+class TestClimateUDEB:
+    def test_lamcalc_convergence_and_lambda(self):
+        c = ClimateUDEB()
+        assert c.lambda_global() == pytest.approx(1.237, abs=0.01)
+        assert c.lambda_ocean > 0.0
+        assert np.isfinite(c.lambda_land)
+
+    def test_initial_state(self):
+        c = ClimateUDEB()
+        state = c.create_initial_state()
+        assert state["ocean_temps"].shape == (2, 50)
+        np.testing.assert_allclose(state["ocean_temps"], 0.0)
+        profile = state["initial_ocean_profile"][0]
+        assert np.all(np.diff(profile) < 0)  # decreasing with depth
+        assert profile[0] > state["initial_ocean_profile"][1][0]  # NH warmer
+
+    def test_positive_forcing_warms(self):
+        c = ClimateUDEB()
+        state = c.create_initial_state()
+        new_temp = c.step_hemisphere(
+            state, 0, 3.71, 1.0 / 12.0, c.lambda_ocean, c.lambda_land, 0.0, 0.0,
+            c.temp_adjust_alpha,
+        )
+        assert new_temp > 0.0
+
+    def test_sst_to_air_amplification(self):
+        c = ClimateUDEB()
+        assert abs(c.sst_to_air_temperature(0.0)) < 1e-10
+        t1 = c.sst_to_air_temperature(1.0)
+        t5 = c.sst_to_air_temperature(5.0)
+        assert t1 > 1.0
+        assert t5 / 5.0 < t1 / 1.0  # amplification decreases
+
+    def test_upwelling_slowdown(self):
+        c = ClimateUDEB()
+        state = c.create_initial_state()
+        w0 = state["upwelling_rates"][0]
+        c.update_upwelling(state, 4.0)
+        assert state["upwelling_rates"][0] < w0
+        c.update_upwelling(state, 10.0)
+        w_min = c.w_initial * (1.0 - c.w_variable_fraction)
+        assert state["upwelling_rates"][0] == pytest.approx(w_min)
+
+    def test_builder_accepts_magicc_aliases(self):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            c = ClimateUDEBBuilder.from_parameters(
+                {"ecs": 2.5, "forcing_2xco2": 3.71}
+            ).build()
+        assert c.ecs == 2.5
+        assert c.rf_2xco2 == 3.71
+
+
+class TestUDEBEndToEnd:
+    def test_erf_step_response(self):
+        """Constant 3.71 W/m^2 forcing -> warming approaching but below ECS."""
+        from rscm_tpu.core import GridType, ModelBuilder, TimeAxis, Timeseries, VariableSchema
+
+        years = np.arange(1850.0, 1950.0)
+        erf = np.full(len(years), 3.71)
+
+        schema = VariableSchema()
+        schema.add_variable("Effective Radiative Forcing", "W/m^2")
+        schema.add_variable("Surface Temperature", "K", GridType.FourBox)
+        schema.add_variable("Heat Uptake", "W/m^2")
+        schema.add_variable("Ocean Heat Content", "J/m^2")
+        schema.add_variable("Sea Surface Temperature", "K")
+
+        model = (
+            ModelBuilder()
+            .with_time_axis(TimeAxis.from_values(years))
+            .with_schema(schema)
+            .with_component(ClimateUDEB())
+            .with_exogenous_variable(
+                "Effective Radiative Forcing", Timeseries.from_values(erf, years)
+            )
+            .with_initial_values({"Surface Temperature": 0.0})
+            .build()
+        )
+        model.run()  # falls back to eager host path (UDEB not traceable)
+
+        temps = model.collection.get_data("Surface Temperature").values()
+        global_mean = temps @ np.asarray(model._grid_obj(GridType.FourBox).weights)
+        # warming monotone-ish, between 1.5K (transient) and ECS-ish ceiling
+        assert global_mean[-1] > 1.5
+        assert global_mean[-1] < 4.5
+        assert global_mean[10] < global_mean[50] < global_mean[-1]
+
+        ohc = model.collection.get_data("Ocean Heat Content").values()[:, 0]
+        assert ohc[-1] > ohc[10] > 0.0
