@@ -1,5 +1,5 @@
 """Model-family config modules; importing registers their builders."""
 
-from . import two_layer  # noqa: F401
+from . import magicc, two_layer  # noqa: F401
 
-__all__ = ["two_layer"]
+__all__ = ["magicc", "two_layer"]

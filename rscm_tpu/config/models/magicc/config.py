@@ -1,0 +1,43 @@
+"""MAGICC model configuration dataclasses
+(mirror of python/rscm/config/models/magicc/config.py)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ...base import ModelConfig
+
+__all__ = ["ClimateConfig", "ForcingConfig", "AggregationConfig", "MAGICCConfig"]
+
+
+@dataclass
+class ClimateConfig:
+    """MAGICC climate model parameters."""
+
+    climate_sensitivity: float = 3.0
+    forcing_2xco2: float = 3.71
+
+
+@dataclass
+class ForcingConfig:
+    """MAGICC forcing parameters."""
+
+    solar_scale: float = 1.0
+    volcanic_scale: float = 1.0
+
+
+@dataclass
+class AggregationConfig:
+    """MAGICC forcing aggregation settings."""
+
+    run_modus: str = "ALL"
+
+
+@dataclass
+class MAGICCConfig(ModelConfig):
+    """Configuration for a MAGICC model."""
+
+    model_type: str = "magicc"
+    climate: ClimateConfig = field(default_factory=ClimateConfig)
+    forcing: ForcingConfig = field(default_factory=ForcingConfig)
+    aggregation: AggregationConfig = field(default_factory=AggregationConfig)
