@@ -94,6 +94,130 @@ def calc_internal_efficacy(q_2xco2, matrix_inverse, area, rf_regions, ecs) -> fl
     return t_global / ecs
 
 
+def lamcalc_traced(params: LamcalcParams, ecs, fallback):
+    """Traced LAMCALC: the same hybrid step/secant iteration as
+    :func:`lamcalc`, expressed branch-free over a fixed 40-iteration
+    ``lax.fori_loop`` with convergence freezing, so a time-varying
+    (traced) ECS can re-derive the feedback parameters inside the fused
+    step program.
+
+    ``fallback`` is ``(lambda_ocean, lambda_land, matrix_inverse,
+    co2_internal_efficacy)`` used when the iteration fails to converge
+    (mirror of the runtime ``unwrap_or`` in ``udeb/mod.rs:304-318``).
+    Returns the same 4-tuple with traced leaves.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    q = params.q_2xco2
+    lam = q / ecs
+    fgosum = params.fgno + params.fgso
+    fglsum = params.fgnl + params.fgsl
+    fratio = fgosum / fglsum
+
+    area = jnp.asarray([params.fgno, params.fgnl, params.fgso, params.fgsl])
+    rf_regions = jnp.asarray(params.rf_regions_co2)
+    rf_sum = jnp.dot(rf_regions, area)
+    qfrac = jnp.where(jnp.abs(rf_sum) <= 1e-15, jnp.ones(4), rf_regions / rf_sum)
+
+    k_lo = params.k_lo
+    k_ns = params.k_ns
+    alpha = params.amplify_ocean_to_land
+
+    def coupling_matrix(lam_o, lam_l):
+        return jnp.asarray(
+            [
+                [params.fgno * lam_o + k_lo * alpha + k_ns, -k_lo, -k_ns, 0.0],
+                [-k_lo * alpha, params.fgnl * lam_l + k_lo, 0.0, 0.0],
+                [-k_ns, 0.0, params.fgso * lam_o + k_lo * alpha + k_ns, -k_lo],
+                [0.0, 0.0, -k_lo * alpha, params.fgsl * lam_l + k_lo],
+            ]
+        )
+
+    def body(i, carry):
+        (lamo_im2, lamo_im1, lamo_i, diff_im2, diff_im1, dlamo, iflag,
+         found, best_lam_o, best_lam_l, best_inv) = carry
+
+        lam_l = lam + fratio * (lam - lamo_i) / params.rlo
+        matrix = coupling_matrix(lamo_i, lam_l)
+        inv = jnp.linalg.inv(matrix)
+
+        temps = q * (inv @ (area * qfrac))
+        ocean_mean = (params.fgno * temps[0] + params.fgso * temps[2]) / fgosum
+        land_mean = (params.fgnl * temps[1] + params.fgsl * temps[3]) / fglsum
+        diff_i = params.rlo - land_mean / ocean_mean
+
+        converged_now = (jnp.abs(diff_i) < RLO_TOLERANCE) & ~found
+        best_lam_o = jnp.where(converged_now, lamo_i, best_lam_o)
+        best_lam_l = jnp.where(converged_now, lam_l, best_lam_l)
+        best_inv = jnp.where(converged_now, inv, best_inv)
+        found = found | converged_now
+
+        sign_change = diff_i * diff_im1 < 0.0
+        iflag = jnp.where(sign_change, 1, iflag)
+
+        # step mode: flip dlamo when the error grew
+        dlamo_step = jnp.where(jnp.abs(diff_i) > jnp.abs(diff_im1), -dlamo, dlamo)
+        next_step = lamo_i + dlamo_step
+
+        # secant vs previous point
+        denom1 = diff_i - diff_im1
+        secant1 = jnp.where(
+            jnp.abs(denom1) < 1e-30,
+            lamo_i + dlamo,
+            lamo_i - diff_i * (lamo_i - lamo_im1) / jnp.where(
+                jnp.abs(denom1) < 1e-30, 1.0, denom1
+            ),
+        )
+        # secant vs the point two back
+        denom2 = diff_i - diff_im2
+        secant2 = jnp.where(
+            jnp.abs(denom2) < 1e-30,
+            lamo_i + dlamo,
+            lamo_i - diff_i * (lamo_i - lamo_im2) / jnp.where(
+                jnp.abs(denom2) < 1e-30, 1.0, denom2
+            ),
+        )
+
+        lamo_next = jnp.where(
+            iflag == 0, next_step, jnp.where(sign_change, secant1, secant2)
+        )
+        dlamo = jnp.where(iflag == 0, dlamo_step, dlamo)
+
+        # freeze the walk once converged
+        lamo_next = jnp.where(found, lamo_i, lamo_next)
+        return (lamo_im1, lamo_i, lamo_next, diff_im1, diff_i, dlamo, iflag,
+                found, best_lam_o, best_lam_l, best_inv)
+
+    init = (
+        jnp.asarray(0.0) + lam,  # lamo[i-2] placeholder (lamo[0]=0 in ref; see note)
+        jnp.asarray(0.0) + lam,  # lamo[i-1] = lamo[1] = lam
+        lam + 0.7,  # lamo[i] = lamo[2]
+        jnp.asarray(0.0),  # diff[i-2] = diff[0] = 0
+        jnp.asarray(0.0),  # diff[i-1] = diff[1] = 0
+        jnp.asarray(0.7),
+        jnp.asarray(0),
+        jnp.asarray(False),
+        jnp.asarray(0.0),
+        jnp.asarray(0.0),
+        jnp.zeros((4, 4)),
+    )
+    out = lax.fori_loop(0, MAX_ITERATIONS - 1, body, init)
+    found = out[7]
+    lam_o = jnp.where(found, out[8], fallback[0])
+    lam_l = jnp.where(found, out[9], fallback[1])
+    inv = jnp.where(found, out[10], jnp.asarray(fallback[2]))
+
+    # internal efficacy from the converged inverse (lamcalc.rs:64-90)
+    temps = q * (inv @ (area * qfrac))
+    t_global = jnp.dot(area, temps)
+    efficacy = jnp.where(
+        jnp.abs(rf_sum) <= 1e-15, 1.0, t_global / ecs
+    )
+    efficacy = jnp.where(found, efficacy, fallback[3])
+    return lam_o, lam_l, inv, efficacy
+
+
 def lamcalc(params: LamcalcParams) -> Optional[LamcalcResult]:
     """Iterate lambda_ocean until the land/ocean warming ratio matches RLO."""
     lam = params.q_2xco2 / params.ecs

@@ -8,10 +8,16 @@ LAMCALC-derived ocean/land feedbacks with time-varying ECS (cumulative-T
 and forcing feedbacks), depth-dependent ocean area factors, SST->air
 temperature adjustment, ground-heat damping, and variable upwelling.
 
-Round-1 scope: complete host (eager float64) implementation — the
-runtime-LAMCALC + unbounded temperature history make this the one
-component still excluded from the fused scan program; it is flagged
-``traceable = False`` so models containing it execute on the eager path.
+Two execution paths share the physics:
+
+- the **host** path mirrors the reference literally (validated against all
+  12 Fortran MAGICC7 ocean_udeb regression scenarios);
+- the **traced** path runs the whole yearly update as pure jnp inside the
+  fused scan program: monthly sub-steps via an inner ``lax.scan``,
+  vectorised tridiagonal assembly, a traced 40-iteration LAMCALC
+  (``lamcalc_traced``) for the time-varying ECS, and the cumulative-
+  temperature history as a fixed ring buffer.  Host/traced agreement is at
+  machine precision (see tests/test_udeb_traced.py).
 """
 
 from __future__ import annotations
@@ -78,9 +84,6 @@ class ClimateUDEB(Component):
     tags = ("climate", "udeb", "magicc")
     category = "Climate"
 
-    #: host-path only for now (runtime LAMCALC + unbounded history)
-    traceable = False
-
     #: common alternate parameter spelling used in MAGICC configs
     parameter_aliases = {"forcing_2xco2": "rf_2xco2"}
 
@@ -91,8 +94,8 @@ class ClimateUDEB(Component):
     sst = Output("Sea Surface Temperature", unit="K")
 
     n_layers = Parameter(default=50, static=True)
-    mixed_layer_depth = Parameter(default=60.0, unit="m")
-    layer_thickness = Parameter(default=100.0, unit="m")
+    mixed_layer_depth = Parameter(default=60.0, unit="m", static=True)
+    layer_thickness = Parameter(default=100.0, unit="m", static=True)
     kappa = Parameter(default=0.75, unit="cm^2/s")
     kappa_min = Parameter(default=0.1, unit="cm^2/s")
     kappa_dkdt = Parameter(default=-0.191)
@@ -105,13 +108,13 @@ class ClimateUDEB(Component):
     rlo = Parameter(default=1.317)
     feedback_q_sensitivity = Parameter(default=7.84e-9)
     feedback_cumt_sensitivity = Parameter(default=0.08)
-    feedback_cumt_period = Parameter(default=300.0, unit="yr")
+    feedback_cumt_period = Parameter(default=300.0, unit="yr", static=True)
     k_lo = Parameter(default=1.44, unit="W/m^2/K")
     k_ns = Parameter(default=0.31, unit="W/m^2/K")
     amplify_ocean_to_land = Parameter(default=1.02)
-    nh_land_fraction = Parameter(default=0.42)
-    sh_land_fraction = Parameter(default=0.21)
-    depth_dependent_area = Parameter(default=1.0)
+    nh_land_fraction = Parameter(default=0.42, static=True)
+    sh_land_fraction = Parameter(default=0.21, static=True)
+    depth_dependent_area = Parameter(default=1.0, static=True)
     temp_adjust_alpha = Parameter(default=1.04)
     temp_adjust_gamma = Parameter(default=-0.002)
     polar_sinking_ratio = Parameter(default=0.2)
@@ -124,6 +127,11 @@ class ClimateUDEB(Component):
     ocean_temp_profile = Parameter(default="CMIP5", static=True)  # "CMIP5" | "Analytical"
     steps_per_year = Parameter(default=12, static=True)
     max_temperature = Parameter(default=25.0, unit="K")
+    #: gate for the in-graph LAMCALC on the traced path; with False the
+    #: compiled program reuses the build-time lambdas (exact when the ECS
+    #: feedback sensitivities are zero; a documented approximation
+    #: otherwise that trades ECS time-variation for a much smaller program)
+    time_varying_ecs = Parameter(default=True, static=True)
 
     def __init__(self, **params):
         super().__init__(**params)
@@ -147,9 +155,10 @@ class ClimateUDEB(Component):
         self.co2_qfrac = compute_qfrac(self.rf_regions_co2, area)
         self.af_top, self.af_bottom, self.af_diff = self.compute_area_factors()
 
-    # LAMCALC products are derived state, not sampled parameters
-    def param_pytree(self):
-        return {}
+    # Note: the LAMCALC products (lambda_ocean/lambda_land/matrix_inverse/
+    # co2_internal_efficacy) are derived instance attributes, not declared
+    # Parameters, so they stay out of the traced pytree; the traced path
+    # re-derives them in-graph from the (possibly batched) ecs/rlo/... .
 
     # -- parameter helpers (climate_udeb.rs impl block) ----------------------
 
@@ -238,13 +247,20 @@ class ClimateUDEB(Component):
 
     # -- internal state (climate/state.rs) ------------------------------------
 
+    #: capacity of the cumulative-temperature ring buffer; must cover
+    #: feedback_cumt_period / dt steps (512 >= 300 annual steps + margin)
+    history_capacity = Parameter(default=512, static=True)
+
     def create_initial_state(self):
         profiles = [self.initial_ocean_profile(0), self.initial_ocean_profile(1)]
         return {
             "ocean_temps": np.zeros((2, self.n_layers)),
             "upwelling_rates": np.array([self.w_initial, self.w_initial]),
-            "temperature_history": [],
-            "dt_history": [],
+            # newest-first ring buffers replacing the reference's unbounded
+            # Vec history (state.rs temperature_history/dt_history): entry k
+            # holds (global_temp * dt, dt) of the step k steps ago
+            "th_values": np.zeros(self.history_capacity),
+            "th_dts": np.zeros(self.history_capacity),
             "land_temps": np.zeros(2),
             "ground_temps": np.zeros(2),
             "alpha_eff": np.array([self.temp_adjust_alpha, self.temp_adjust_alpha]),
@@ -268,22 +284,25 @@ class ClimateUDEB(Component):
     def adjusted_ecs(self, global_forcing, state):
         cumt_2x = self.ecs * self.feedback_cumt_period
         period = self.feedback_cumt_period
-        history = state["temperature_history"]
-        dts = state["dt_history"]
+        values = state["th_values"]  # newest-first
+        dts = state["th_dts"]
 
+        # Walk newest-first accumulating step widths until the feedback
+        # period is covered, weighting the last partial step (mirror of
+        # udeb/mod.rs:302-350 over the unbounded history).
         cum_t = 0.0
-        if history:
-            years_remaining = period
-            for i in range(len(history) - 1, -1, -1):
+        years_remaining = period
+        for value, dt in zip(values, dts):
+            if years_remaining <= 0.0 or dt <= 0.0:
                 if years_remaining <= 0.0:
                     break
-                dt = dts[i]
-                if dt <= years_remaining:
-                    cum_t += history[i]
-                    years_remaining -= dt
-                else:
-                    cum_t += history[i] * (years_remaining / dt)
-                    years_remaining = 0.0
+                continue
+            if dt <= years_remaining:
+                cum_t += value
+                years_remaining -= dt
+            else:
+                cum_t += value * (years_remaining / dt)
+                years_remaining = 0.0
 
         cumt_factor = (
             1.0 + self.feedback_cumt_sensitivity * (cum_t - cumt_2x) / cumt_2x
@@ -435,6 +454,375 @@ class ClimateUDEB(Component):
     # -- main solve (udeb/mod.rs:399-470) ---------------------------------------
 
     def solve_ctx(self, ctx, inputs, internal_state):
+        from rscm_tpu.core.state import is_traced
+
+        if is_traced(inputs.total_erf.at_start()) or is_traced(ctx.t_current):
+            return self._solve_traced(ctx, inputs, internal_state)
+        return self._solve_host(ctx, inputs, internal_state)
+
+    # .. traced path: the whole yearly update as pure jnp (lives inside the
+    #    fused lax.scan step program; monthly sub-steps via an inner scan) ..
+
+    def _solve_traced(self, ctx, inputs, internal_state):
+        import jax.numpy as jnp
+        from jax import lax
+
+        from rscm_tpu.utils import thomas_solve
+
+        from .lamcalc import lamcalc_traced
+
+        state = internal_state
+        n = self.n_layers
+        steps = int(self.steps_per_year)
+
+        spans = np.asarray(ctx.spans, dtype=np.float64)
+        dt_year = float(spans[0])
+        assert np.allclose(spans, dt_year, rtol=0, atol=0.0), (
+            "traced ClimateUDEB requires a uniform time axis"
+        )
+        dt_sub = dt_year / steps
+
+        erf_start = inputs.total_erf.at_start()
+        erf_end_raw = inputs.total_erf.at_end()
+        erf_end = jnp.where(jnp.isnan(erf_end_raw), erf_start, erf_end_raw)
+        erf_start = jnp.where(jnp.isnan(erf_start), erf_end, erf_start)
+
+        prev_temp = jnp.stack(
+            [
+                inputs.surface_temperature.at_start(region)
+                for region in (
+                    FourBoxRegion.NorthernOcean,
+                    FourBoxRegion.NorthernLand,
+                    FourBoxRegion.SouthernOcean,
+                    FourBoxRegion.SouthernLand,
+                )
+            ]
+        )
+
+        ocean_temps = jnp.asarray(state["ocean_temps"])
+        land_temps = jnp.asarray(state["land_temps"])
+        ground_temps = jnp.asarray(state["ground_temps"])
+
+        # branch-free resume seeding (mirror of the host path's guard)
+        seed = (
+            (ocean_temps[0, 0] == 0.0)
+            & (prev_temp[0] != 0.0)
+            & ~jnp.any(jnp.isnan(prev_temp))
+        )
+        ocean_temps = ocean_temps.at[0, 0].set(
+            jnp.where(seed, prev_temp[0], ocean_temps[0, 0])
+        )
+        ocean_temps = ocean_temps.at[1, 0].set(
+            jnp.where(seed, prev_temp[2], ocean_temps[1, 0])
+        )
+        land_temps = jnp.where(seed, jnp.stack([prev_temp[1], prev_temp[3]]), land_temps)
+        ground_temps = jnp.where(seed, land_temps, ground_temps)
+
+        # adjusted ECS from the ring buffer: static weights cover the
+        # feedback period under the uniform dt
+        period = self.feedback_cumt_period
+        capacity = int(self.history_capacity)
+        n_full = int(period // dt_year)
+        frac = (period - n_full * dt_year) / dt_year
+        weights = np.zeros(capacity)
+        weights[: min(n_full, capacity)] = 1.0
+        if n_full < capacity and frac > 0:
+            weights[n_full] = frac
+        cum_t = jnp.dot(jnp.asarray(state["th_values"]), jnp.asarray(weights))
+
+        cumt_2x = self.ecs * period
+        erf_mid = (erf_start + erf_end) / 2.0
+        cumt_factor = jnp.where(
+            jnp.abs(cumt_2x) > 1e-15,
+            1.0 + self.feedback_cumt_sensitivity * (cum_t - cumt_2x) / cumt_2x,
+            1.0,
+        )
+        q_factor = 1.0 + self.feedback_q_sensitivity * (
+            jnp.maximum(erf_mid, 0.0) - self.rf_2xco2
+        )
+        adjusted_ecs = self.ecs * cumt_factor * q_factor
+
+        fgno, fgnl, fgso, fgsl = self.global_box_fractions()
+        from .lamcalc import LamcalcParams
+
+        if self.time_varying_ecs:
+            lam_o, lam_l, _inv, co2_eff = lamcalc_traced(
+                LamcalcParams(
+                    q_2xco2=self.rf_2xco2, k_lo=self.k_lo, k_ns=self.k_ns,
+                    ecs=adjusted_ecs, rlo=self.rlo,
+                    amplify_ocean_to_land=self.amplify_ocean_to_land,
+                    fgno=fgno, fgnl=fgnl, fgso=fgso, fgsl=fgsl,
+                    rf_regions_co2=tuple(self.rf_regions_co2),
+                ),
+                adjusted_ecs,
+                (self.lambda_ocean, self.lambda_land, self.matrix_inverse,
+                 self.co2_internal_efficacy),
+            )
+        else:
+            lam_o = jnp.asarray(self.lambda_ocean)
+            lam_l = jnp.asarray(self.lambda_land)
+            co2_eff = jnp.asarray(self.co2_internal_efficacy)
+        # Unlike the host path (which reuses the build-time LAMCALC result
+        # when adjusted_ecs == ecs), the traced path always derives the
+        # lambdas in-graph: parameters may be traced/batched, so the
+        # build-time constants can be stale.  The iteration is
+        # deterministic, so for matching ECS the recomputed values agree
+        # with the build-time ones to floating-point precision.
+
+        c_ground = self.ground_heat_capacity() if self.land_heat_capacity_enabled else 0.0
+        c_mix = self.mixed_layer_heat_capacity()
+        dz = self.layer_thickness
+        dz_mix = self.mixed_layer_depth
+        dz1 = dz / 2.0
+        pi_ratio = self.polar_sinking_ratio
+        af_top = jnp.asarray(self.af_top)
+        af_bot = jnp.asarray(self.af_bottom)
+        af_diff = jnp.asarray(self.af_diff)
+        kappa_min = self.kappa_min_m2_per_yr()
+        total_depth = dz_mix + (n - 1.0) * dz
+        depths = dz_mix + np.arange(n - 1) * dz
+        relative_depth = jnp.asarray(depths / total_depth)
+
+        f_l = np.array([self.nh_land_fraction / 2.0, self.sh_land_fraction / 2.0])
+        f_o = 0.5 - f_l
+        w_thresh = jnp.stack(
+            [jnp.asarray(self.w_threshold_temp_nh), jnp.asarray(self.w_threshold_temp_sh)]
+        )
+        qfrac = jnp.asarray(self.co2_qfrac)
+        init_profiles = jnp.asarray(state["initial_ocean_profile"])
+        t_polar = state["polar_sinking_temp"]
+        alpha_eff = jnp.asarray(state["alpha_eff"])
+
+        def apply_forcing(erf):
+            if self.efficacy_apply == 1:
+                erf_adjusted = erf * self.prescribed_efficacy_co2
+            elif self.efficacy_apply == 2:
+                ok = jnp.isfinite(co2_eff) & (co2_eff > 0)
+                erf_adjusted = jnp.where(
+                    ok, erf * self.prescribed_efficacy_co2 / jnp.where(ok, co2_eff, 1.0),
+                    erf,
+                )
+            else:
+                erf_adjusted = erf
+            return erf_adjusted * qfrac
+
+        def sst_to_air(sst):
+            # branch-free in (possibly traced) gamma: quadratic regime below
+            # t_star, linear continuation above; pure linear when gamma ~ 0
+            alpha, gamma = self.temp_adjust_alpha, self.temp_adjust_gamma
+            nonzero = jnp.abs(gamma) > 1e-15
+            gamma_safe = jnp.where(nonzero, gamma, 1.0)
+            t_star = -(alpha - 1.0) / (2.0 * gamma_safe)
+            delta_max = alpha * t_star + gamma * t_star * t_star - t_star
+            quad_regime = jnp.where(
+                sst < t_star, alpha * sst + gamma * sst * sst, sst + delta_max
+            )
+            return jnp.where(nonzero, quad_regime, alpha * sst)
+
+        def step_hemi(ocean, w, hemi, forcing, hemi_exchange, ground, land, a_eff):
+            """One monthly implicit column update (vectorised tridiagonal)."""
+            t_top = ocean[0]
+            t_bottom = ocean[n - 1]
+            kappas = jnp.maximum(
+                ((1.0 - relative_depth) * self.kappa_dkdt * (t_top - t_bottom)
+                 + self.kappa) * DIFFUSIVITY_CM2S_TO_M2YR,
+                kappa_min,
+            )
+
+            denominator = f_o[hemi] * (self.k_lo + f_l[hemi] * lam_l)
+            term_feedback = a_eff / c_mix * (
+                lam_o
+                + lam_l * self.k_lo * self.amplify_ocean_to_land * f_l[hemi] / denominator
+            )
+            term_diff0 = kappas[0] / (dz_mix * dz1) * dt_sub
+            term_upwell0 = w / dz_mix * dt_sub
+            forcing_amp = 1.0 + self.k_lo * f_l[hemi] / denominator
+
+            # interior rows 1..n-2 vectorised
+            idx = np.arange(1, n - 1)
+            dz_up = np.where(idx == 1, dz1, dz)
+            term_diff_up = kappas[idx - 1] / (dz * jnp.asarray(dz_up)) * dt_sub
+            term_diff_down = kappas[idx] / (dz * dz) * dt_sub
+            term_upwell_layer = w / dz * dt_sub
+
+            a_mid = -term_diff_up * af_top[idx]
+            b_mid = (
+                1.0
+                + term_diff_up * af_top[idx]
+                + term_diff_down * af_bot[idx]
+                + term_upwell_layer * af_top[idx]
+            )
+            c_mid = -(term_diff_down + term_upwell_layer) * af_bot[idx]
+            d_mid = ocean[idx] + pi_ratio * term_upwell_layer * ocean[0] * af_diff[idx]
+
+            b0 = (
+                1.0
+                + term_feedback * dt_sub * af_top[0]
+                + term_diff0 * af_bot[0]
+                + term_upwell0 * pi_ratio * af_bot[0]
+            )
+            c0 = -(term_diff0 + term_upwell0) * af_bot[0]
+            d0 = ocean[0] + (forcing * forcing_amp + hemi_exchange) / c_mix * dt_sub * af_top[0]
+            if self.land_heat_capacity_enabled:
+                d0 = d0 - self.k_lg * (land - ground) / (c_mix * f_o[hemi]) * dt_sub * af_top[0]
+
+            term_diff_last = kappas[n - 2] / (dz * dz) * dt_sub
+            term_upwell_last = w / dz * dt_sub
+            a_last = -term_diff_last * af_top[n - 1]
+            b_last = 1.0 + (term_diff_last + term_upwell_last) * af_top[n - 1]
+            d_last = ocean[n - 1] + pi_ratio * term_upwell_last * ocean[0] * af_top[n - 1]
+
+            # variable-upwelling source terms (proportional to delta_w, so
+            # computing them unconditionally matches the reference's guard)
+            delta_w = w - self.w_initial
+            init = init_profiles[hemi]
+            d0 = d0 + dt_sub / dz_mix * delta_w * (init[1] - t_polar) * af_bot[0]
+            d_mid = d_mid + dt_sub / dz * delta_w * (
+                init[idx + 1] * af_bot[idx] - init[idx] * af_top[idx]
+            )
+            d_mid = d_mid + dt_sub / dz * delta_w * t_polar * af_diff[idx]
+            d_last = d_last + dt_sub / dz * delta_w * (t_polar - init[n - 1]) * af_top[n - 1]
+
+            a_vec = jnp.concatenate([jnp.zeros(1), a_mid, jnp.asarray([a_last])])
+            b_vec = jnp.concatenate([jnp.asarray([b0]), b_mid, jnp.asarray([b_last])])
+            c_vec = jnp.concatenate([jnp.asarray([c0]), c_mid, jnp.zeros(1)])
+            d_vec = jnp.concatenate([jnp.asarray([d0]), d_mid, jnp.asarray([d_last])])
+
+            # Native tridiagonal primitive: parallel-friendly, batches over
+            # ensembles, and far lighter to compile/run than either a
+            # sequential Thomas sweep or a dense LU.
+            from jax.lax.linalg import tridiagonal_solve
+
+            solution = tridiagonal_solve(a_vec, b_vec, c_vec, d_vec[:, None])[:, 0]
+            new_temps = jnp.minimum(solution, self.max_temperature)
+            return new_temps
+
+        def month_step(carry, frac):
+            ocean_temps, land_temps, ground_temps, hemi_exchange, upwelling = carry
+            erf = erf_start + frac * (erf_end - erf_start)
+            forcing = apply_forcing(erf)
+
+            if self.land_heat_capacity_enabled:
+                flux = self.k_lg * (land_temps - ground_temps)
+                safe_fl = np.where(f_l < 1e-15, 1.0, f_l)
+                delta_ground = flux / (jnp.asarray(safe_fl) * c_ground) * dt_sub
+                ground_temps = ground_temps + jnp.where(
+                    jnp.asarray(f_l) < 1e-15, 0.0, delta_ground
+                )
+
+            new_nh = step_hemi(ocean_temps[0], upwelling[0], 0, forcing[0],
+                               hemi_exchange[0], ground_temps[0], land_temps[0],
+                               alpha_eff[0])
+            new_sh = step_hemi(ocean_temps[1], upwelling[1], 1, forcing[2],
+                               hemi_exchange[1], ground_temps[1], land_temps[1],
+                               alpha_eff[1])
+            ocean_temps = jnp.stack([new_nh, new_sh])
+
+            t_air_nho = sst_to_air(ocean_temps[0, 0])
+            t_air_sho = sst_to_air(ocean_temps[1, 0])
+            land_temps = jnp.stack(
+                [
+                    jnp.minimum(
+                        (forcing[1] * fgnl + self.k_lo * self.amplify_ocean_to_land
+                         * t_air_nho) / (lam_l * fgnl + self.k_lo),
+                        self.max_temperature,
+                    ),
+                    jnp.minimum(
+                        (forcing[3] * fgsl + self.k_lo * self.amplify_ocean_to_land
+                         * t_air_sho) / (lam_l * fgsl + self.k_lo),
+                        self.max_temperature,
+                    ),
+                ]
+            )
+
+            exchange_nh = self.k_ns / fgno * (t_air_sho - t_air_nho) if fgno > 1e-15 else hemi_exchange[0]
+            exchange_sh = self.k_ns / fgso * (t_air_nho - t_air_sho) if fgso > 1e-15 else hemi_exchange[1]
+            hemi_exchange = jnp.stack([exchange_nh, exchange_sh])
+
+            global_temp = (
+                t_air_nho * fgno + land_temps[0] * fgnl
+                + t_air_sho * fgso + land_temps[1] * fgsl
+            )
+            w_min = self.w_initial * (1.0 - self.w_variable_fraction)
+            ratios = jnp.minimum(global_temp / w_thresh, 1.0)
+            upwelling = jnp.maximum(
+                self.w_initial * (1.0 - self.w_variable_fraction * ratios), w_min
+            )
+            return (ocean_temps, land_temps, ground_temps, hemi_exchange, upwelling), None
+
+        fracs = jnp.asarray(np.arange(1, steps + 1) / steps)
+        carry = (
+            ocean_temps, land_temps, ground_temps,
+            jnp.asarray(state["hemi_heat_exchange"]),
+            jnp.asarray(state["upwelling_rates"]),
+        )
+        (ocean_temps, land_temps, ground_temps, hemi_exchange, upwelling), _ = lax.scan(
+            month_step, carry, fracs
+        )
+
+        sst_nh = ocean_temps[0, 0]
+        sst_sh = ocean_temps[1, 0]
+        alpha = self.temp_adjust_alpha
+        new_alpha_eff = jnp.stack(
+            [
+                jnp.where(jnp.abs(sst_nh) < 1e-15, alpha, sst_to_air(sst_nh) / jnp.where(jnp.abs(sst_nh) < 1e-15, 1.0, sst_nh)),
+                jnp.where(jnp.abs(sst_sh) < 1e-15, alpha, sst_to_air(sst_sh) / jnp.where(jnp.abs(sst_sh) < 1e-15, 1.0, sst_sh)),
+            ]
+        )
+
+        t_air_nho = sst_to_air(sst_nh)
+        t_air_sho = sst_to_air(sst_sh)
+        surface_temperature = jnp.stack(
+            [t_air_nho, land_temps[0], t_air_sho, land_temps[1]]
+        )
+
+        area = jnp.asarray([fgno, fgnl, fgso, fgsl])
+        global_temp = jnp.dot(surface_temperature, area)
+
+        from rscm_tpu.core import xmath as xm
+
+        new_state = {
+            "ocean_temps": ocean_temps,
+            "upwelling_rates": upwelling,
+            "th_values": xm.push_front(jnp.asarray(state["th_values"]),
+                                       global_temp * dt_year),
+            "th_dts": xm.push_front(jnp.asarray(state["th_dts"]), dt_year),
+            "land_temps": land_temps,
+            "ground_temps": ground_temps,
+            "alpha_eff": new_alpha_eff,
+            "hemi_heat_exchange": hemi_exchange,
+            "initial_ocean_profile": state["initial_ocean_profile"],
+            "polar_sinking_temp": state["polar_sinking_temp"],
+            "mixed_layer_initial_temp": state["mixed_layer_initial_temp"],
+        }
+
+        forcing_end = apply_forcing(erf_end)
+        lambdas = jnp.asarray([1.0, 0.0, 1.0, 0.0]) * lam_o + jnp.asarray(
+            [0.0, 1.0, 0.0, 1.0]
+        ) * lam_l
+        heat_uptake = jnp.dot(area, forcing_end) - jnp.dot(
+            area, lambdas * surface_temperature
+        )
+        rho_c = RHO_SEAWATER * CP_SEAWATER
+        ocean_heat_content = (
+            rho_c * dz_mix * (ocean_temps[0, 0] + ocean_temps[1, 0])
+            + rho_c * dz * (jnp.sum(ocean_temps[0, 1:]) + jnp.sum(ocean_temps[1, 1:]))
+        ) / 2.0
+        sst = (sst_nh + sst_sh) / 2.0
+
+        return (
+            self.Outputs(
+                surface_temperature=FourBoxSlice.from_array(
+                    [surface_temperature[i] for i in range(4)]
+                ),
+                heat_uptake=heat_uptake,
+                ocean_heat_content=ocean_heat_content,
+                sst=sst,
+            ),
+            new_state,
+        )
+
+    def _solve_host(self, ctx, inputs, internal_state):
         state = internal_state
 
         erf_start = float(inputs.total_erf.at_start())
@@ -565,8 +953,10 @@ class ClimateUDEB(Component):
         )
 
         global_temp = float(np.dot(surface_temperature, [fgno, fgnl, fgso, fgsl]))
-        state["temperature_history"].append(global_temp * dt_year)
-        state["dt_history"].append(dt_year)
+        state["th_values"] = np.concatenate(
+            [[global_temp * dt_year], state["th_values"][:-1]]
+        )
+        state["th_dts"] = np.concatenate([[dt_year], state["th_dts"][:-1]])
 
         forcing_end = self.apply_efficacy_and_qfrac(erf_end, current_co2_efficacy)
         heat_uptake = self.calculate_heat_uptake(

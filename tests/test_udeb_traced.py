@@ -1,0 +1,80 @@
+"""Traced (fused-scan) ClimateUDEB vs host-path parity."""
+
+import numpy as np
+import pytest
+
+from rscm_tpu.core import GridType, ModelBuilder, TimeAxis, Timeseries, VariableSchema
+from rscm_tpu.core.spatial import ScalarGrid
+from rscm_tpu.magicc import ClimateUDEB
+
+
+def build_model(years, erf, **params):
+    schema = VariableSchema()
+    schema.add_variable("Effective Radiative Forcing", "W/m^2")
+    schema.add_variable("Surface Temperature", "K", GridType.FourBox)
+    schema.add_variable("Heat Uptake", "W/m^2")
+    schema.add_variable("Ocean Heat Content", "J/m^2")
+    schema.add_variable("Sea Surface Temperature", "K")
+    ta = TimeAxis.from_values(years)
+    return (
+        ModelBuilder()
+        .with_time_axis(ta)
+        .with_schema(schema)
+        .with_component(ClimateUDEB(**params))
+        .with_exogenous_variable(
+            "Effective Radiative Forcing",
+            Timeseries(np.asarray(erf)[:, None], ta, ScalarGrid(), "W/m^2"),
+        )
+        .with_initial_values({"Surface Temperature": 0.0})
+        .build()
+    )
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        {},  # full defaults incl. time-varying ECS -> in-graph LAMCALC
+        {"efficacy_apply": 2},
+        {"w_variable_fraction": 0.0, "feedback_cumt_sensitivity": 0.0,
+         "feedback_q_sensitivity": 0.0},
+        {"land_heat_capacity_enabled": False},
+    ],
+)
+def test_traced_matches_host(params):
+    years = np.arange(1850.0, 1940.0)
+    erf = np.where(years >= 1851.0, 3.71, 0.0)
+
+    host = build_model(years, erf, **params)
+    host.run(compiled=False)
+    comp = build_model(years, erf, **params)
+    comp.run(compiled=True)
+
+    for name in ["Heat Uptake", "Ocean Heat Content", "Sea Surface Temperature"]:
+        np.testing.assert_allclose(
+            host.collection.get_data(name).values(),
+            comp.collection.get_data(name).values(),
+            rtol=1e-10, atol=1e-10, err_msg=name,
+        )
+    np.testing.assert_allclose(
+        host.collection.get_data("Surface Temperature").values(),
+        comp.collection.get_data("Surface Temperature").values(),
+        rtol=1e-10, atol=1e-12,
+    )
+
+
+def test_udeb_ensemble_vmaps():
+    """A UDEB parameter ensemble runs as one vmapped program."""
+    from rscm_tpu.parallel import EnsembleRunner
+
+    years = np.arange(1850.0, 1900.0)
+    erf = np.where(years >= 1851.0, 3.71, 0.0)
+    model = build_model(years, erf)
+    runner = EnsembleRunner(model)
+
+    ecs_values = np.array([2.0, 3.0, 4.5])
+    params = runner.batched_params({"ClimateUDEB.ecs": ecs_values})
+    out = runner.run(params=params, out_vars=["Sea Surface Temperature"])
+    ssts = np.asarray(out["Sea Surface Temperature"])[:, -1, 0]
+    # higher ECS -> more warming, all finite
+    assert np.all(np.isfinite(ssts))
+    assert ssts[0] < ssts[1] < ssts[2]
