@@ -99,6 +99,39 @@ class ComponentGraph:
                     queue.append(succ)
         return order
 
+    def topo_order(self, start: int) -> List[int]:
+        """Kahn topological order with BFS-style FIFO tie-breaking.
+
+        The reference executes a plain BFS (``runtime.rs:504-510``), which
+        can visit a consumer before one of its producers in diamond graphs
+        (e.g. an ERF aggregator discovered through a shallow contributor
+        runs before the deeper forcing components have written, silently
+        NaN-skipping their contributions).  Topological order preserves the
+        BFS order for chain graphs and fixes the diamond case, so every
+        component reads fully-written upstream outputs.
+        """
+        indegree = [0] * len(self.nodes)
+        for src, dst, _ in self.edges:
+            if src != dst:
+                indegree[dst] += 1
+        queue = deque(
+            node for node in range(len(self.nodes)) if indegree[node] == 0
+        )
+        order = []
+        enqueued = [indegree[node] == 0 for node in range(len(self.nodes))]
+        while queue:
+            node = queue.popleft()
+            order.append(node)
+            for edge_idx in self._out[node]:
+                _, dst, _ = self.edges[edge_idx]
+                if dst == node:
+                    continue
+                indegree[dst] -= 1
+                if indegree[dst] == 0 and not enqueued[dst]:
+                    enqueued[dst] = True
+                    queue.append(dst)
+        return order
+
     def check_acyclic(self):
         """Raise on any cycle (self-loops tolerated, mirroring
         ``model/validation.rs:176`` which treats ``BackEdge(a, a)`` as OK)."""

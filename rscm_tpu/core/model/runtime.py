@@ -85,7 +85,8 @@ class Model:
         self.unit_conversions = unit_conversions
         self.variable_sources = variable_sources
 
-        self.exec_order = graph.bfs_order(initial_node)
+        # topological execution (BFS-compatible on chains; see graph.topo_order)
+        self.exec_order = graph.topo_order(initial_node)
         self.component_states = {
             node: graph.nodes[node].create_initial_state() for node in graph.node_indices()
         }

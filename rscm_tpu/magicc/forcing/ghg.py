@@ -73,12 +73,12 @@ class GhgForcing(Component):
         return (self.delq2xco2 / LN2) * xm.log(co2 / self.co2_pi)
 
     def _ch4_ipcctar(self, ch4, _n2o):
-        direct = self.ch4_radeff * (xm.sqrt(ch4) - math.sqrt(self.ch4_pi))
+        direct = self.ch4_radeff * (xm.sqrt(ch4) - xm.sqrt(self.ch4_pi))
         overlap = _overlap_f(ch4, self.n2o_pi) - _overlap_f(self.ch4_pi, self.n2o_pi)
         return direct - overlap
 
     def _n2o_ipcctar(self, _ch4, n2o):
-        direct = self.n2o_radeff * (xm.sqrt(n2o) - math.sqrt(self.n2o_pi))
+        direct = self.n2o_radeff * (xm.sqrt(n2o) - xm.sqrt(self.n2o_pi))
         overlap = _overlap_f(self.ch4_pi, n2o) - _overlap_f(self.ch4_pi, self.n2o_pi)
         return direct - overlap
 
@@ -109,7 +109,7 @@ class GhgForcing(Component):
             + self.olbl_ch4_b3 * xm.sqrt(n2o)
             + self.olbl_ch4_d3
         )
-        return coeff * (xm.sqrt(ch4) - math.sqrt(self.ch4_pi))
+        return coeff * (xm.sqrt(ch4) - xm.sqrt(self.ch4_pi))
 
     def _n2o_olbl(self, co2, ch4, n2o):
         coeff = (
@@ -118,7 +118,7 @@ class GhgForcing(Component):
             + self.olbl_n2o_c2 * xm.sqrt(ch4)
             + self.olbl_n2o_d2
         )
-        return coeff * (xm.sqrt(n2o) - math.sqrt(self.n2o_pi))
+        return coeff * (xm.sqrt(n2o) - xm.sqrt(self.n2o_pi))
 
     # -- public calculation API (ghg.rs:59-84,160-180) ----------------------
 

@@ -1,0 +1,260 @@
+"""Full emissions-driven MAGICC pathway: emissions -> concentrations ->
+forcing -> temperature with all ten components coupled.
+
+The reference's accuracy comparison against MAGICC7 is xfail upstream
+(documented simplifications); here the full pathway is exercised for
+structural correctness and physical plausibility, plus host/compiled
+agreement of the complete ten-component graph.
+"""
+
+import numpy as np
+import pytest
+
+from rscm_tpu.core import (
+    GridType,
+    ModelBuilder,
+    TimeAxis,
+    Timeseries,
+    VariableSchema,
+)
+from rscm_tpu.core.spatial import ScalarGrid
+from rscm_tpu.magicc import (
+    AerosolDirect,
+    AerosolIndirect,
+    CH4Chemistry,
+    ClimateUDEB,
+    CO2Budget,
+    GhgForcing,
+    N2OChemistry,
+    OceanCarbon,
+    OzoneForcing,
+    TerrestrialCarbon,
+)
+
+from .helpers import get_variable_values, load_regression_data
+
+
+def build_emissions_schema():
+    schema = VariableSchema()
+    for name, unit in [
+        ("Atmospheric Concentration|CO2", "ppm"),
+        ("Atmospheric Concentration|CH4", "ppb"),
+        ("Atmospheric Concentration|N2O", "ppb"),
+        ("Emissions|CO2|Fossil", "GtC/yr"),
+        ("Emissions|CO2|Land Use", "GtC/yr"),
+        ("Emissions|CH4", "Mt CH4/yr"),
+        ("Emissions|N2O", "Mt N/yr"),
+        ("Emissions|NOx", "Mt N/yr"),
+        ("Emissions|CO", "Mt CO/yr"),
+        ("Emissions|NMVOC", "Mt NMVOC/yr"),
+        ("Emissions|SOx", "Mt S/yr"),
+        ("Emissions|BC", "Mt BC/yr"),
+        ("Emissions|OC", "Mt OC/yr"),
+        ("EESC", "ppt"),
+        ("Effective Radiative Forcing|CO2", "W/m^2"),
+        ("Effective Radiative Forcing|CH4", "W/m^2"),
+        ("Effective Radiative Forcing|N2O", "W/m^2"),
+        ("Effective Radiative Forcing|O3|Stratospheric", "W/m^2"),
+        ("Effective Radiative Forcing|O3|Tropospheric", "W/m^2"),
+        ("Effective Radiative Forcing|O3|Temperature Feedback", "W/m^2"),
+        ("Effective Radiative Forcing|Aerosol|Direct", "W/m^2"),
+        ("Effective Radiative Forcing|Aerosol|Indirect", "W/m^2"),
+        ("Heat Uptake", "W/m^2"),
+        ("Ocean Heat Content", "J/m^2"),
+        ("Sea Surface Temperature", "K"),
+        ("Carbon Flux|Terrestrial", "GtC/yr"),
+        ("Carbon Flux|Ocean", "GtC/yr"),
+        ("Carbon Pool|Plant", "GtC"),
+        ("Carbon Pool|Detritus", "GtC"),
+        ("Carbon Pool|Soil", "GtC"),
+        ("Carbon Pool|Humus", "GtC"),
+        ("Ocean Surface pCO2", "ppm"),
+        ("Cumulative Ocean Uptake", "GtC"),
+        ("Emissions|CO2|Net", "GtC/yr"),
+        ("Airborne Fraction|CO2", "1"),
+        ("Lifetime|CH4", "yr"),
+        ("Lifetime|N2O", "yr"),
+    ]:
+        schema.add_variable(name, unit)
+    schema.add_variable("Surface Temperature", "K", GridType.FourBox)
+    schema.add_aggregate(
+        "Effective Radiative Forcing", "W/m^2", "Sum",
+        [
+            "Effective Radiative Forcing|CO2",
+            "Effective Radiative Forcing|CH4",
+            "Effective Radiative Forcing|N2O",
+            "Effective Radiative Forcing|O3|Stratospheric",
+            "Effective Radiative Forcing|O3|Tropospheric",
+            "Effective Radiative Forcing|O3|Temperature Feedback",
+            "Effective Radiative Forcing|Aerosol|Direct",
+            "Effective Radiative Forcing|Aerosol|Indirect",
+        ],
+    )
+    return schema
+
+
+def build_emissions_driven_model(years, emissions, initial_conditions, config):
+    """Ten-component MAGICC graph (mirror of test_ghg_forcing.py:470-560)."""
+    time_axis = TimeAxis.from_bounds(
+        np.concatenate([years, [years[-1] + 1.0]]).astype(np.float64)
+    )
+    ghg = GhgForcing(
+        method="Ipcctar",
+        delq2xco2=config.get("core_delq2xco2", 3.71),
+        co2_pi=initial_conditions.get("Atmospheric Concentration|CO2", 278.0),
+        ch4_pi=initial_conditions.get("Atmospheric Concentration|CH4", 700.0),
+        n2o_pi=initial_conditions.get("Atmospheric Concentration|N2O", 270.0),
+        adjust_co2=1.0, adjust_ch4=1.0, adjust_n2o=1.0,
+    )
+    climate = ClimateUDEB(
+        ecs=config.get("core_climatesensitivity", 3.0),
+        rf_2xco2=config.get("core_delq2xco2", 3.71),
+    )
+    builder = (
+        ModelBuilder()
+        .with_time_axis(time_axis)
+        .with_schema(build_emissions_schema())
+        .with_component(
+            CH4Chemistry(
+                ch4_pi=initial_conditions.get("Atmospheric Concentration|CH4", 722.0)
+            )
+        )
+        .with_component(
+            N2OChemistry(
+                n2o_pi=initial_conditions.get("Atmospheric Concentration|N2O", 270.0)
+            )
+        )
+        .with_component(ghg)
+        .with_component(OzoneForcing())
+        .with_component(AerosolDirect())
+        .with_component(AerosolIndirect())
+        .with_component(climate)
+        .with_component(TerrestrialCarbon())
+        .with_component(OceanCarbon())
+        .with_component(CO2Budget())
+    )
+    for var_name, (values, unit) in emissions.items():
+        builder = builder.with_exogenous_variable(
+            var_name,
+            Timeseries(np.asarray(values, float)[:, None], time_axis, ScalarGrid(), unit),
+        )
+    builder = builder.with_initial_values(initial_conditions)
+    return builder.build()
+
+
+def _extract_emissions(df, years):
+    def get_or_zero(var):
+        try:
+            _, vals = get_variable_values(df, var)
+        except ValueError:
+            return np.zeros_like(years, dtype=np.float64)
+        return vals
+
+    def sum_sectors(base_var):
+        total = np.zeros_like(years, dtype=np.float64)
+        for sector in ["MAGICC Fossil and Industrial", "MAGICC AFOLU"]:
+            total = total + get_or_zero(f"{base_var}|{sector}")
+        return total
+
+    return {
+        "Emissions|CO2|Fossil": (get_or_zero("Emissions|CO2"), "GtC/yr"),
+        "Emissions|CO2|Land Use": (np.zeros_like(years), "GtC/yr"),
+        "Emissions|CH4": (get_or_zero("Emissions|CH4"), "Mt CH4/yr"),
+        "Emissions|N2O": (get_or_zero("Emissions|N2O"), "Mt N/yr"),
+        "Emissions|NOx": (sum_sectors("Emissions|NOx"), "Mt N/yr"),
+        "Emissions|CO": (sum_sectors("Emissions|CO"), "Mt CO/yr"),
+        "Emissions|NMVOC": (sum_sectors("Emissions|NMVOC"), "Mt NMVOC/yr"),
+        "Emissions|SOx": (sum_sectors("Emissions|SOx"), "Mt S/yr"),
+        "Emissions|BC": (sum_sectors("Emissions|BC"), "Mt BC/yr"),
+        "Emissions|OC": (sum_sectors("Emissions|OC"), "Mt OC/yr"),
+        "EESC": (np.zeros_like(years), "ppt"),
+    }
+
+
+@pytest.fixture(scope="module")
+def emissions_setup():
+    df, config = load_regression_data("ghg_forcing", "03_emissions_driven")
+    years, expected_co2 = get_variable_values(df, "Atmospheric Concentrations|CO2")
+    _, expected_ch4 = get_variable_values(df, "Atmospheric Concentrations|CH4")
+    _, expected_n2o = get_variable_values(df, "Atmospheric Concentrations|N2O")
+    _, expected_temp = get_variable_values(df, "Surface Temperature")
+    emissions = _extract_emissions(df, years)
+    initial_conditions = {
+        "Atmospheric Concentration|CO2": float(expected_co2[0]),
+        "Atmospheric Concentration|CH4": float(expected_ch4[0]),
+        "Atmospheric Concentration|N2O": float(expected_n2o[0]),
+        "Surface Temperature": 0.0,
+        "Ocean Surface pCO2": float(expected_co2[0]),
+        "Cumulative Ocean Uptake": 0.0,
+        "Carbon Pool|Plant": 884.86,
+        "Carbon Pool|Detritus": 92.77,
+        "Carbon Pool|Soil": 1681.53,
+        "Carbon Pool|Humus": 836.0,
+    }
+    return years, emissions, initial_conditions, config, {
+        "co2": expected_co2, "ch4": expected_ch4, "n2o": expected_n2o,
+        "temp": expected_temp,
+    }
+
+
+def test_emissions_driven_pathway_runs(emissions_setup):
+    years, emissions, initial_conditions, config, expected = emissions_setup
+    model = build_emissions_driven_model(years, emissions, initial_conditions, config)
+    model.run(compiled=False)
+    results = model.timeseries()
+
+    co2 = np.asarray(results.get_timeseries_by_name(
+        "Atmospheric Concentration|CO2").values())[:, 0]
+    ch4 = np.asarray(results.get_timeseries_by_name(
+        "Atmospheric Concentration|CH4").values())[:, 0]
+    sst = np.asarray(results.get_timeseries_by_name(
+        "Sea Surface Temperature").values())[:, 0]
+
+    # structural: no NaN holes after step 0, rising CO2 under SSP245
+    assert np.all(np.isfinite(co2[1:]))
+    assert np.all(np.isfinite(ch4[1:]))
+    assert np.all(np.isfinite(sst[1:]))
+    assert co2[-1] > co2[1] + 50.0
+    assert sst[-1] > 0.5
+
+    # order-of-magnitude agreement with the MAGICC7 pathway (the accurate
+    # comparison is xfail upstream at 5% — documented simplifications)
+    rel_co2 = abs(co2[-1] - expected["co2"][-2]) / expected["co2"][-2]
+    assert rel_co2 < 0.25, f"CO2 end-of-century off by {rel_co2:.1%}"
+
+
+def test_emissions_driven_carbon_conservation(emissions_setup):
+    """Atmosphere growth == net emissions (budget closure identity)."""
+    years, emissions, initial_conditions, config, _ = emissions_setup
+    model = build_emissions_driven_model(years, emissions, initial_conditions, config)
+    model.run(compiled=False)
+    results = model.timeseries()
+
+    co2 = np.asarray(results.get_timeseries_by_name(
+        "Atmospheric Concentration|CO2").values())[:, 0]
+    net = np.asarray(results.get_timeseries_by_name(
+        "Emissions|CO2|Net").values())[:, 0]
+
+    gtc_per_ppm = 2.123
+    growth_gtc = np.diff(co2[1:]) * gtc_per_ppm
+    np.testing.assert_allclose(growth_gtc, net[2:], rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_emissions_driven_compiled_matches_host(emissions_setup):
+    years, emissions, initial_conditions, config, _ = emissions_setup
+    host = build_emissions_driven_model(years, emissions, initial_conditions, config)
+    host.run(compiled=False)
+    comp = build_emissions_driven_model(years, emissions, initial_conditions, config)
+    comp.run(compiled=True)
+    for name in [
+        "Atmospheric Concentration|CO2",
+        "Atmospheric Concentration|CH4",
+        "Sea Surface Temperature",
+        "Carbon Flux|Ocean",
+    ]:
+        np.testing.assert_allclose(
+            host.collection.get_data(name).values(),
+            comp.collection.get_data(name).values(),
+            rtol=1e-7, atol=1e-9, err_msg=name,
+        )
