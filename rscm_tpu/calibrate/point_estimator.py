@@ -118,7 +118,13 @@ class PointEstimator:
 
         return negative_log_prob
 
-    def optimize(self, optimizer: "Optimizer", **kwargs) -> PointEstimate:
+    def optimize(self, optimizer: "Optimizer", n_samples=None, **kwargs) -> PointEstimate:
+        """Run an optimizer; accepts the reference's positional
+        ``optimize(Optimizer.RandomSearch, n_samples)`` calling style."""
+        if isinstance(optimizer, type):
+            optimizer = optimizer()
+        if n_samples is not None:
+            kwargs["n_samples"] = n_samples
         return optimizer.optimize(self, **kwargs)
 
 

@@ -200,7 +200,7 @@ class ModelProgram:
     def gather_endo(self) -> Dict[str, np.ndarray]:
         return {
             name: np.asarray(
-                self.model.collection.get_data(name).values(), dtype=self.dtype
+                self.model.collection.get_data(name)._values, dtype=self.dtype
             )
             for name in self.endo_names
         }
@@ -208,7 +208,7 @@ class ModelProgram:
     def gather_exo(self) -> Dict[str, np.ndarray]:
         return {
             name: np.asarray(
-                self.model.collection.get_data(name).values(), dtype=self.dtype
+                self.model.collection.get_data(name)._values, dtype=self.dtype
             )
             for name in self.exo_names
         }
