@@ -99,7 +99,7 @@ def export_component_metadata(output_dir: str = None) -> Dict[str, dict]:
         os.makedirs(output_dir, exist_ok=True)
         for name, meta in out.items():
             with open(os.path.join(output_dir, f"{name}.json"), "w") as f:
-                json.dump(meta, f, indent=2)
+                json.dump(meta, f, indent=2, default=repr)
     return out
 
 

@@ -543,7 +543,7 @@ class Model:
         lines.append("}")
         return "\n".join(lines)
 
-    def debug_info(self, format: str = "plain") -> str:
+    def debug_info(self, format: str = "rich") -> str:
         """Execution-order and dataflow introspection.
 
         Mirror of ``model/debug.rs``: execution order, per-component inputs
@@ -588,22 +588,43 @@ class Model:
             }
         if format == "json":
             return json.dumps(info, indent=2)
-        lines = ["Model execution order:"]
+
+        # "rich" = coloured terminal output (mirror of model/debug.rs with
+        # the reference's rich-debug feature); "plain" strips the colours.
+        if format == "rich":
+            bold, dim, reset = "\033[1m", "\033[2m", "\033[0m"
+            cyan, green, yellow, magenta = (
+                "\033[36m", "\033[32m", "\033[33m", "\033[35m"
+            )
+        else:
+            bold = dim = reset = cyan = green = yellow = magenta = ""
+
+        source_color = {
+            VariableSource.Exogenous: green,
+            VariableSource.UpstreamOutput: cyan,
+            VariableSource.OwnState: magenta,
+        }
+        lines = [f"{bold}Model execution order:{reset}"]
         for entry in info["execution_order"]:
-            lines.append(f"  [{entry['position']}] {entry['component']}")
+            lines.append(f"  {bold}[{entry['position']}] {entry['component']}{reset}")
             for inp in entry["inputs"]:
                 extra = []
                 if inp["unit_conversion_factor"] != 1.0:
                     extra.append(f"x{inp['unit_conversion_factor']:.6g}")
                 if inp["read_transform"]:
                     extra.append("aggregated")
-                suffix = f" ({', '.join(extra)})" if extra else ""
+                suffix = f" {yellow}({', '.join(extra)}){reset}" if extra else ""
+                color = source_color.get(inp["source"], "")
                 lines.append(
-                    f"      in:  {inp['name']} [{inp['source']}, {inp['grid']}]{suffix}"
+                    f"      in:  {inp['name']} "
+                    f"[{color}{inp['source']}{reset}, {inp['grid']}]{suffix}"
                 )
             for out in entry["outputs"]:
                 suffix = (
-                    f" -> {out['storage_grid']}" if out["write_transform"] else ""
+                    f" {yellow}-> {out['storage_grid']}{reset}"
+                    if out["write_transform"]
+                    else ""
                 )
                 lines.append(f"      out: {out['name']} [{out['grid']}]{suffix}")
+        lines.append(f"{dim}{len(info['variables'])} variables in collection{reset}")
         return "\n".join(lines)
