@@ -14,9 +14,15 @@ itself publishes no benchmark numbers (BASELINE.json "published": {}).
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: compiles through the remote-TPU tunnel
+# are slow (minutes); the cache makes repeat bench runs start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def build_model(n_years=551):
