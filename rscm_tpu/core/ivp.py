@@ -67,24 +67,47 @@ def _add(y: Tuple, k: Tuple, h):
     return tuple(yi + ki * h for yi, ki in zip(y, k))
 
 
+def _rk4_step(f: Callable, y: Tuple, t, h) -> Tuple:
+    k1 = f(t, y)
+    k2 = f(t + h / 2.0, _add(y, k1, h / 2.0))
+    k3 = f(t + h / 2.0, _add(y, k2, h / 2.0))
+    k4 = f(t + h, _add(y, k3, h))
+    return tuple(
+        yi + (k1i + 2.0 * k2i + 2.0 * k3i + k4i) * (h / 6.0)
+        for yi, k1i, k2i, k3i, k4i in zip(y, k1, k2, k3, k4)
+    )
+
+
 def rk4_integrate(f: Callable, y0: Tuple, t0, step_size: float, n: int) -> Tuple:
     """Classic RK4 with ``n`` fixed sub-steps of width ``step_size``.
 
     Arithmetic matches ``ode_solvers``' Rk4:
     ``y += (k1 + 2 k2 + 2 k3 + k4) * (h/6)``.
+
+    Under tracing the sub-step loop is a ``lax.fori_loop`` (the sub-steps
+    are inherently sequential, so rolling them shrinks the step program —
+    and its compile time — ~n-fold without costing wall-clock); the host
+    path and short unrolls use a plain Python loop with identical
+    arithmetic.
     """
     h = step_size
     y = tuple(y0)
+
+    def _is_traced(values) -> bool:
+        import jax
+
+        return any(isinstance(v, (jax.Array, jax.core.Tracer)) for v in values)
+
+    if n > 2 and (_is_traced(y) or _is_traced([t0])):
+        from jax import lax
+
+        def body(i, y):
+            return _rk4_step(f, y, t0 + i * h, h)
+
+        return lax.fori_loop(0, n, body, y)
+
     for i in range(n):
-        t = t0 + i * h
-        k1 = f(t, y)
-        k2 = f(t + h / 2.0, _add(y, k1, h / 2.0))
-        k3 = f(t + h / 2.0, _add(y, k2, h / 2.0))
-        k4 = f(t + h, _add(y, k3, h))
-        y = tuple(
-            yi + (k1i + 2.0 * k2i + 2.0 * k3i + k4i) * (h / 6.0)
-            for yi, k1i, k2i, k3i, k4i in zip(y, k1, k2, k3, k4)
-        )
+        y = _rk4_step(f, y, t0 + i * h, h)
     return y
 
 
