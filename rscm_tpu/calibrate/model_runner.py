@@ -17,7 +17,7 @@ Mirror of ``crates/rscm-calibrate/src/model_runner.rs``:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 import numpy as np
 

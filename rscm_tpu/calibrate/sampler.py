@@ -19,7 +19,6 @@ Two engines:
 
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass
 from typing import Callable, List, Optional

@@ -3,11 +3,9 @@
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
-
 from rscm_tpu.components import TwoLayerBuilder
 
-from ..base import ModelConfig, TimeConfig
+from ..base import ModelConfig
 from ..parameters import parameter
 from ..registry import component_registry
 

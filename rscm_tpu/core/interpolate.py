@@ -24,8 +24,6 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from enum import Enum
-from typing import Union
-
 import numpy as np
 
 from .errors import ExtrapolationError

@@ -21,7 +21,6 @@ reference components).
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Sequence, Tuple
 
 import numpy as np

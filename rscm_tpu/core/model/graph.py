@@ -12,7 +12,7 @@ does exactly that.
 from __future__ import annotations
 
 from collections import deque
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Tuple
 
 from ..errors import CircularDependencyError
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from ..spatial import GridType
 from ..state import FourBoxWindow, HemisphericWindow, ScalarWindow
 
 __all__ = ["InputState"]

@@ -38,7 +38,6 @@ from typing import Dict
 import numpy as np
 
 from ..component import SolveContext
-from ..spatial import GridType
 from ..state import StateValue, make_window
 from ..timeseries import VariableType
 from .graph import NullComponent

@@ -28,7 +28,7 @@ import numpy as np
 from ..spatial import GridType, grid_for_type
 from ..state import StateValue, VariableSource
 from ..component import RequirementType, SolveContext
-from ..timeseries import TimeseriesCollection, VariableType
+from ..timeseries import TimeseriesCollection
 from .graph import ComponentGraph, NullComponent
 from .input_state import InputState
 from .types import ReadSpec, WriteSpec

@@ -28,12 +28,12 @@ out-of-range indices during a normal run).
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Optional
 
 import numpy as np
 
 from .interpolate import InterpolationStrategy, LinearSpline, interpolate_host, interpolate_traced
-from .spatial import FourBoxRegion, GridType, HemisphericRegion, ScalarRegion
+from .spatial import FourBoxRegion, GridType, HemisphericRegion
 
 __all__ = [
     "VariableSource",

@@ -23,20 +23,13 @@ from __future__ import annotations
 
 import math
 from enum import Enum
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
 from .errors import GridOutputMismatchError
 from .interpolate import Interp1d, InterpolationStrategy, LinearSpline
-from .spatial import (
-    FourBoxGrid,
-    GridType,
-    HemisphericGrid,
-    ScalarGrid,
-    ScalarRegion,
-    SpatialGrid,
-)
+from .spatial import GridType, ScalarGrid, ScalarRegion, SpatialGrid
 from .time_axis import TimeAxis
 
 __all__ = [

@@ -16,7 +16,6 @@ fused vector op instead of a pointer-chasing loop.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
 
 import numpy as np
 

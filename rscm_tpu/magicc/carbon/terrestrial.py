@@ -11,8 +11,6 @@ reference's semi-implicit trapezoidal step.
 
 from __future__ import annotations
 
-import math
-
 from rscm_tpu.components._builder import make_builder
 from rscm_tpu.core import xmath as xm
 from rscm_tpu.core.component import Component, Input, Output, Parameter, State

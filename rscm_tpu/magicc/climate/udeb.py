@@ -23,7 +23,6 @@ Two execution paths share the physics:
 from __future__ import annotations
 
 import math
-from typing import List
 
 import numpy as np
 

@@ -8,8 +8,6 @@ Mirror of ``crates/rscm-magicc/src/forcing/ozone.rs:90+`` +
 
 from __future__ import annotations
 
-import math
-
 from rscm_tpu.components._builder import make_builder
 from rscm_tpu.core import xmath as xm
 from rscm_tpu.core.component import Component, Input, Output, Parameter
