@@ -7,6 +7,13 @@ petgraph's ``neighbors`` iterates outgoing edges in *reverse insertion
 order*; execution order parity therefore requires replicating both the BFS
 queue discipline and that neighbor order — :meth:`ComponentGraph.bfs_order`
 does exactly that.
+
+Like the reference's Rust core, the traversal engine itself is native:
+``native/graph_engine.cpp`` (bound via :mod:`rscm_tpu.native`) implements
+the same BFS / Kahn / cycle-detection contracts and is used when its
+shared library is available; the pure-Python implementations below remain
+the fallback and the differential-testing oracle
+(``RSCM_TPU_NATIVE=0`` forces them).
 """
 
 from __future__ import annotations
@@ -84,8 +91,20 @@ class ComponentGraph:
         """Successors in petgraph order (reverse edge-insertion)."""
         return [self.edges[e][1] for e in reversed(self._out[node])]
 
+    def _edge_pairs(self):
+        return [(src, dst) for src, dst, _ in self.edges]
+
+    @staticmethod
+    def _native_engine():
+        from rscm_tpu.native import load_graph_engine
+
+        return load_graph_engine()
+
     def bfs_order(self, start: int) -> List[int]:
         """Breadth-first visit order from ``start`` (petgraph ``Bfs`` replica)."""
+        engine = self._native_engine()
+        if engine is not None:
+            return engine.bfs_order(len(self.nodes), self._edge_pairs(), start)
         discovered = [False] * len(self.nodes)
         discovered[start] = True
         queue = deque([start])
@@ -110,6 +129,9 @@ class ComponentGraph:
         BFS order for chain graphs and fixes the diamond case, so every
         component reads fully-written upstream outputs.
         """
+        engine = self._native_engine()
+        if engine is not None:
+            return engine.topo_order(len(self.nodes), self._edge_pairs())
         indegree = [0] * len(self.nodes)
         for src, dst, _ in self.edges:
             if src != dst:
@@ -135,6 +157,15 @@ class ComponentGraph:
     def check_acyclic(self):
         """Raise on any cycle (self-loops tolerated, mirroring
         ``model/validation.rs:176`` which treats ``BackEdge(a, a)`` as OK)."""
+        engine = self._native_engine()
+        if engine is not None:
+            offender = engine.find_cycle(len(self.nodes), self._edge_pairs())
+            if offender >= 0:
+                raise CircularDependencyError(
+                    f"cycle passes through component "
+                    f"'{getattr(self.nodes[offender], 'component_name', offender)}'"
+                )
+            return
         WHITE, GRAY, BLACK = 0, 1, 2
         color = [WHITE] * len(self.nodes)
 
