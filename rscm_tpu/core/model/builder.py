@@ -68,6 +68,32 @@ def _component_name(component) -> str:
     return getattr(component, "component_name", type(component).__name__)
 
 
+def _warn_unset_parameters(component, component_name: str) -> None:
+    """Warn at build time about required parameters left ``None``.
+
+    The reference's required serde fields fail at deserialization; here a
+    component can be constructed with unset (no-default) parameters, which
+    only surfaces at run time as per-step "Solving failed" prints and NaN
+    output (mirroring ``runtime.rs:493-495`` print-and-skip).  A build-time
+    warning points at the actual mistake without changing run semantics.
+    """
+    import warnings
+
+    unset = [
+        pname
+        for pname, decl in getattr(component, "_component_parameters", {}).items()
+        if decl.default is None and getattr(component, pname, None) is None
+    ]
+    if unset:
+        warnings.warn(
+            f"Component '{component_name}' has unset parameters "
+            f"{sorted(unset)} (no default, no value provided); its solve "
+            "will fail each step and the run will produce NaN for its "
+            "outputs.",
+            stacklevel=3,
+        )
+
+
 def _check_unit_compatibility(variable, component, schema_unit, component_unit):
     """Mirror of ``builder.rs:347-413``: None when identical, conversion info
     when compatible, raises when incompatible."""
@@ -269,6 +295,7 @@ class ModelBuilder:
             node = graph.add_node(component)
             has_dependencies = False
             component_name = _component_name(component)
+            _warn_unset_parameters(component, component_name)
 
             requires = component.inputs()
             provides = component.outputs()

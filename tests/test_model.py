@@ -288,3 +288,40 @@ class TestBuilderAPI:
             model.collection.get_data("Surface Temperature").values(),
             model2.collection.get_data("Surface Temperature").values(),
         )
+
+
+class TestUnsetParameterWarning:
+    def test_build_warns_on_unset_required_parameters(self):
+        import warnings
+
+        years = np.arange(2000.0, 2005.0)
+        erf = Timeseries.from_values(np.zeros(len(years)), years)
+        builder = (
+            ModelBuilder()
+            .with_time_axis(TimeAxis.from_values(years))
+            .with_component(TwoLayer())  # all six parameters unset
+            .with_exogenous_variable("Effective Radiative Forcing", erf)
+            .with_initial_values(
+                {"Surface Temperature": 0.0, "Deep Ocean Temperature": 0.0}
+            )
+        )
+        with pytest.warns(UserWarning, match=r"TwoLayer.*unset parameters.*lambda0"):
+            builder.build()
+
+    def test_build_does_not_warn_when_parameters_set(self):
+        import warnings
+
+        years = np.arange(2000.0, 2005.0)
+        erf = Timeseries.from_values(np.zeros(len(years)), years)
+        builder = (
+            ModelBuilder()
+            .with_time_axis(TimeAxis.from_values(years))
+            .with_component(TwoLayer(**TWO_LAYER_PARAMS))
+            .with_exogenous_variable("Effective Radiative Forcing", erf)
+            .with_initial_values(
+                {"Surface Temperature": 0.0, "Deep Ocean Temperature": 0.0}
+            )
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            builder.build()

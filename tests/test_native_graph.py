@@ -138,7 +138,16 @@ def test_model_build_uses_native_and_matches_python(monkeypatch):
             .with_schema(schema)
             .with_component(CarbonCycle(tau=20.0, conc_pi=280.0, alpha_temperature=0.03))
             .with_component(CO2ERF(erf_2xco2=3.7, conc_pi=280.0))
-            .with_component(TwoLayer())
+            .with_component(
+                TwoLayer(
+                    lambda0=1.0,
+                    a=0.0,
+                    efficacy=1.0,
+                    eta=0.7,
+                    heat_capacity_surface=8.0,
+                    heat_capacity_deep=100.0,
+                )
+            )
             .with_exogenous_variable(
                 "Emissions|CO2|Anthropogenic", Timeseries.from_values(emissions, years)
             )
