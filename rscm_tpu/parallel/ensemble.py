@@ -83,12 +83,14 @@ class EnsembleRunner:
             )
 
         out = {}
+        matched = set()
         for node_key, params in base.items():
             comp_name = name_for_node[node_key]
             out[node_key] = {}
             for pname, value in params.items():
                 key = f"{comp_name}.{pname}"
                 if key in overrides:
+                    matched.add(key)
                     out[node_key][pname] = np.asarray(
                         overrides[key], dtype=self.program.dtype
                     )
@@ -96,6 +98,17 @@ class EnsembleRunner:
                     out[node_key][pname] = np.broadcast_to(
                         np.asarray(value, dtype=self.program.dtype), (batch,)
                     )
+        unknown = set(overrides) - matched
+        if unknown:
+            known = sorted(
+                f"{name_for_node[nk]}.{pn}"
+                for nk, params in base.items()
+                for pn in params
+            )
+            raise KeyError(
+                f"batched_params: unknown parameter(s) {sorted(unknown)}; "
+                f"known traced parameters: {known}"
+            )
         return out
 
     # -- execution -----------------------------------------------------------

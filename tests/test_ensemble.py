@@ -95,3 +95,11 @@ class TestEnsembleRunner:
             np.asarray(sharded["Surface Temperature"]),
             rtol=1e-12,
         )
+
+
+def test_batched_params_rejects_unknown_names():
+    years = np.arange(2000.0, 2005.0)
+    model = build_model(years, np.zeros(len(years)))
+    runner = EnsembleRunner(model)
+    with pytest.raises(KeyError, match="unknown parameter.*TwoLayer.nope"):
+        runner.batched_params({"TwoLayer.nope": np.ones(3)})
