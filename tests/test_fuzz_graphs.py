@@ -1,0 +1,126 @@
+"""
+Differential fuzz: random component DAGs, host path vs compiled path.
+
+Random graphs of tiny affine components (``out = gain * sum(inputs) +
+offset``, plus a self-integrating state) are built in random insertion
+orders; the eager float64 host executor and the traced ``lax.scan``
+program must agree everywhere.  This exercises source classification
+(Exogenous / UpstreamOutput / OwnState depends on insertion order —
+SURVEY appendix), execution ordering, schema aggregates, and the window
+read/write conventions across graph shapes no hand-written test covers.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from rscm_tpu.core import ModelBuilder, TimeAxis, Timeseries, VariableSchema
+from rscm_tpu.core.component import Component, Input, Output, Parameter, State
+
+
+def _make_affine_component(class_name, input_vars, output_var):
+    """Dynamic component: output = gain * sum(inputs) + offset."""
+    namespace = {
+        "__doc__": f"fuzz affine node {class_name}",
+        "gain": Parameter(default=1.0),
+        "offset": Parameter(default=0.0),
+    }
+    for i, var in enumerate(input_vars):
+        namespace[f"in_{i}"] = Input(var, unit="W/m^2")
+    namespace["out"] = Output(output_var, unit="W/m^2")
+
+    n_inputs = len(input_vars)
+
+    def solve_ctx(self, ctx, inputs, internal_state):
+        total = 0.0
+        for i in range(n_inputs):
+            total = total + getattr(inputs, f"in_{i}").get()
+        return self.Outputs(out=self.gain * total + self.offset), internal_state
+
+    namespace["solve_ctx"] = solve_ctx
+    return type(class_name, (Component,), namespace, register=False)
+
+
+def _make_integrator_component(class_name, input_var, state_var):
+    """Dynamic component: state' = state + rate * input * dt."""
+    namespace = {
+        "__doc__": f"fuzz integrator node {class_name}",
+        "rate": Parameter(default=0.1),
+        "inp": Input(input_var, unit="W/m^2"),
+        "acc": State(state_var, unit="W/m^2"),
+    }
+
+    def solve_ctx(self, ctx, inputs, internal_state):
+        dt = ctx.t_next - ctx.t_current
+        new = inputs.acc.at_start() + self.rate * inputs.inp.get() * dt
+        return self.Outputs(acc=new), internal_state
+
+    namespace["solve_ctx"] = solve_ctx
+    return type(class_name, (Component,), namespace, register=False)
+
+
+def _random_model(seed):
+    rng = random.Random(seed)
+    years = np.arange(2000.0, 2000.0 + rng.randrange(5, 15))
+    ta = TimeAxis.from_values(years)
+
+    n_layers = rng.randrange(2, 5)
+    schema = VariableSchema()
+    schema.add_variable("Fuzz|Source", "W/m^2")
+
+    components = []
+    initial_values = {}
+    produced = ["Fuzz|Source"]  # variables available as inputs
+
+    for layer in range(n_layers):
+        var = f"Fuzz|L{layer}"
+        n_in = min(len(produced), rng.randrange(1, 3))
+        input_vars = rng.sample(produced, n_in)
+        if rng.random() < 0.3:
+            state_var = f"Fuzz|S{layer}"
+            cls = _make_integrator_component(
+                f"FuzzInt{seed}_{layer}", input_vars[0], state_var
+            )
+            comp = cls(rate=rng.uniform(0.05, 0.3))
+            schema.add_variable(state_var, "W/m^2")
+            initial_values[state_var] = rng.uniform(-1.0, 1.0)
+            produced.append(state_var)
+        else:
+            cls = _make_affine_component(f"FuzzAff{seed}_{layer}", input_vars, var)
+            comp = cls(gain=rng.uniform(0.5, 1.5), offset=rng.uniform(-0.5, 0.5))
+            schema.add_variable(var, "W/m^2")
+            produced.append(var)
+        components.append(comp)
+
+    # random insertion order exercises source classification
+    rng.shuffle(components)
+
+    source = Timeseries.from_values(
+        np.linspace(1.0, 2.0, len(years)), np.asarray(years)
+    )
+    builder = ModelBuilder().with_time_axis(ta).with_schema(schema)
+    for comp in components:
+        builder = builder.with_component(comp)
+    return (
+        builder.with_exogenous_variable("Fuzz|Source", source)
+        .with_initial_values(initial_values)
+        .build()
+    ), produced
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_dag_host_matches_compiled(seed):
+    host, produced = _random_model(seed)
+    compiled, _ = _random_model(seed)
+
+    host.run(compiled=False)
+    compiled.run(compiled=True)
+
+    for name in produced:
+        h = host.collection.get_data(name).values()
+        c = compiled.collection.get_data(name).values()
+        np.testing.assert_allclose(
+            h, c, rtol=1e-10, atol=1e-12,
+            err_msg=f"seed={seed} variable={name}",
+        )
