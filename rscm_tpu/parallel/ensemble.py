@@ -22,12 +22,22 @@ import numpy as np
 __all__ = ["EnsembleRunner", "make_mesh", "stack_params"]
 
 
-def make_mesh(n_devices: Optional[int] = None, axis_name: str = "batch"):
-    """1-D device mesh over the first ``n_devices`` local devices."""
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_name: str = "batch",
+    devices: Optional[list] = None,
+):
+    """1-D device mesh over the first ``n_devices`` local devices.
+
+    Pass ``devices`` explicitly to build the mesh on a specific backend's
+    devices (e.g. ``jax.devices("cpu")`` for the forced-host platform when
+    the default platform has fewer chips).
+    """
     import jax
     from jax.sharding import Mesh
 
-    devices = jax.devices()
+    if devices is None:
+        devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
