@@ -11,7 +11,7 @@ from ..registry import component_registry
 
 component_registry.register("TwoLayer", TwoLayerBuilder)
 
-__all__ = ["TwoLayerParams", "TwoLayerConfig"]
+__all__ = ["TwoLayerParams", "TwoLayerParameters", "TwoLayerConfig"]
 
 
 @dataclass
@@ -51,3 +51,7 @@ class TwoLayerConfig(ModelConfig):
 
     climate: TwoLayerParams = field(default_factory=TwoLayerParams)
     model_type: str = "two-layer"
+
+
+# Reference-name alias (python/rscm/config/models/two_layer.py)
+TwoLayerParameters = TwoLayerParams

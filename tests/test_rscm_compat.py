@@ -203,3 +203,63 @@ class TestConfigSurface:
         assert (
             config["components"]["climate"]["parameters"]["climate_sensitivity"] == 2.5
         )
+
+
+REFERENCE_PUBLIC_API = {
+    "rscm.calibrate": [
+        "HAS_PANDAS", "Bound", "Chain", "EnsembleSampler", "GaussianLikelihood",
+        "LogNormal", "ModelRunner", "Normal", "Observation", "OptimizationResult",
+        "Optimizer", "ParameterSet", "PointEstimator", "ProgressInfo", "Target",
+        "Uniform", "VariableTarget", "WalkerInit", "chain_to_dataframe",
+        "progress", "target_from_dataframe",
+    ],
+    "rscm.components": [
+        "CO2ERFBuilder", "CarbonCycleBuilder", "FourBoxOceanHeatUptakeBuilder",
+    ],
+    "rscm.config": [
+        "ComponentNotFoundError", "ComponentRegistry", "ConfigError",
+        "IncompatibleSchemaError", "InputSpec", "ModelConfig",
+        "ParameterMetadata", "TimeConfig", "ValidationError", "build_model",
+        "build_two_layer_model", "check_schema_version", "component_registry",
+        "deep_merge", "export_parameter_json", "generate_parameter_docs",
+        "get_parameter_metadata", "load_config", "load_config_layers",
+        "parameter", "register_component", "validate_parameters",
+    ],
+    "rscm.config.models": ["TwoLayerConfig", "TwoLayerParameters"],
+    "rscm.config.models.magicc": [
+        "LEGACY_MAPPING", "MAGICC_PARAMETERS", "AggregationConfig",
+        "ClimateConfig", "ForcingConfig", "MAGICCConfig", "ParameterInfo",
+        "ParameterStatus", "from_legacy_dict", "get_coverage_report",
+        "get_coverage_stats", "to_legacy_dict",
+    ],
+    "rscm.core": [
+        "FourBoxGrid", "FourBoxRegion", "FourBoxSlice", "FourBoxTimeseriesWindow",
+        "GridType", "HemisphericGrid", "HemisphericRegion", "HemisphericSlice",
+        "HemisphericTimeseriesWindow", "InterpolationStrategy", "Model",
+        "ModelBuilder", "PythonComponent", "RequirementDefinition",
+        "RequirementType", "ScalarGrid", "ScalarRegion", "StateValue",
+        "TimeAxis", "Timeseries", "TimeseriesCollection", "TimeseriesWindow",
+        "Unit", "VariableSchema", "VariableType",
+    ],
+    "rscm.magicc": [
+        "AerosolDirectBuilder", "AerosolIndirectBuilder", "CH4ChemistryBuilder",
+        "CO2BudgetBuilder", "ClimateUDEBBuilder", "HalocarbonChemistryBuilder",
+        "N2OChemistryBuilder", "OceanCarbonBuilder", "OzoneForcingBuilder",
+        "TerrestrialCarbonBuilder",
+    ],
+    "rscm.two_layer": ["TwoLayerBuilder"],
+}
+
+
+@pytest.mark.parametrize("module_name", sorted(REFERENCE_PUBLIC_API))
+def test_reference_public_api_present(module_name):
+    """Every public name the reference exports resolves on the compat
+    package (the reference's per-module __all__ lists, python/rscm/)."""
+    import importlib
+
+    module = importlib.import_module(module_name)
+    missing = [
+        name for name in REFERENCE_PUBLIC_API[module_name]
+        if not hasattr(module, name)
+    ]
+    assert not missing, f"{module_name} missing reference names: {missing}"
