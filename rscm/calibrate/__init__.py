@@ -23,6 +23,10 @@ from rscm_tpu.calibrate import (
 )
 from rscm_tpu.calibrate import progress  # noqa: F401
 
+import sys as _sys
+
+_sys.modules[__name__ + ".progress"] = progress
+
 try:
     from rscm_tpu.calibrate import chain_to_dataframe, target_from_dataframe
 
@@ -39,6 +43,10 @@ class Optimizer:
     provides gradient-based optimizers via rscm_tpu.calibrate)."""
 
     RandomSearch = RandomSearch()
+
+    @staticmethod
+    def random_search(seed=None):
+        return RandomSearch(seed)
 
 
 __all__ = [

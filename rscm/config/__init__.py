@@ -9,10 +9,38 @@ import rscm_tpu.config.models
 import rscm_tpu.config.models.magicc
 import rscm_tpu.config.models.two_layer
 
-# Register submodule aliases so `import rscm.config.models.magicc` works
-# (mirror of the reference's sys.modules wiring, python/mod.rs:47-115).
-sys.modules[__name__ + ".models"] = rscm_tpu.config.models
-sys.modules[__name__ + ".models.magicc"] = rscm_tpu.config.models.magicc
-sys.modules[__name__ + ".models.two_layer"] = rscm_tpu.config.models.two_layer
+# Register submodule aliases so `import rscm.config.<submodule>` works for
+# every path the reference package exposes (mirror of the reference's
+# package layout, python/rscm/config/).
+import rscm_tpu.config.base
+import rscm_tpu.config.builder
+import rscm_tpu.config.docs
+import rscm_tpu.config.exceptions
+import rscm_tpu.config.loader
+import rscm_tpu.config.models.magicc.legacy
+import rscm_tpu.config.models.magicc.parameters
+import rscm_tpu.config.parameters
+import rscm_tpu.config.registry
+import rscm_tpu.config.validation
+
+for _sub in (
+    "base",
+    "builder",
+    "docs",
+    "exceptions",
+    "loader",
+    "models",
+    "models.magicc",
+    "models.magicc.legacy",
+    "models.magicc.parameters",
+    "models.two_layer",
+    "parameters",
+    "registry",
+    "validation",
+):
+    _mod = rscm_tpu.config
+    for _part in _sub.split("."):
+        _mod = getattr(_mod, _part)
+    sys.modules[__name__ + "." + _sub] = _mod
 
 __all__ = list(_all) + ["models"]

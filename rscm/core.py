@@ -40,13 +40,16 @@ from rscm_tpu.core.spatial import (
 )
 from rscm_tpu.core.state import (
     FourBoxSlice,
-    FourBoxWindow as FourBoxTimeseriesWindow,
     HemisphericSlice,
-    HemisphericWindow as HemisphericTimeseriesWindow,
-    ScalarWindow as TimeseriesWindow,
     StateValue,
 )
 from rscm_tpu.core.timeseries import GridTimeseries
+
+from ._windows import (
+    FourBoxTimeseriesWindow,
+    HemisphericTimeseriesWindow,
+    TimeseriesWindow,
+)
 
 
 class InterpolationStrategy:

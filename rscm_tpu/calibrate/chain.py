@@ -77,14 +77,15 @@ class Chain:
                 f"Chain too large to save ({nbytes / 2**30:.2f} GiB > 1 GiB cap); "
                 f"increase thinning"
             )
-        np.savez_compressed(
-            path,
-            samples=samples,
-            log_probs=log_probs,
-            param_names=np.asarray(self.param_names, dtype=object),
-            thin=self.thin,
-            total_iterations=self.total_iterations,
-        )
+        with open(path, "wb") as f:  # exact filename (np would append .npz)
+            np.savez_compressed(
+                f,
+                samples=samples,
+                log_probs=log_probs,
+                param_names=np.asarray(self.param_names, dtype=object),
+                thin=self.thin,
+                total_iterations=self.total_iterations,
+            )
 
     @staticmethod
     def load(path: str) -> "Chain":
@@ -98,15 +99,19 @@ class Chain:
         return chain
 
     def merge(self, other: "Chain") -> "Chain":
-        """Concatenate a resumed run onto this chain (chain.rs:256)."""
+        """Concatenate a resumed run onto this chain, in place
+        (chain.rs:256; the reference mutates the receiver). Returns self."""
         assert self.param_names == other.param_names, "param names must match"
-        merged = Chain(self.param_names, self.thin)
-        merged.samples = self.samples + other.samples
-        merged.log_probs = self.log_probs + other.log_probs
-        merged.total_iterations = self.total_iterations + other.total_iterations
-        return merged
+        self.samples = self.samples + other.samples
+        self.log_probs = self.log_probs + other.log_probs
+        self.total_iterations = self.total_iterations + other.total_iterations
+        return self
 
     # -- diagnostics -------------------------------------------------------------
+
+    def to_param_dict(self, discard: int = 0) -> Dict[str, np.ndarray]:
+        """Reference-name alias of :meth:`to_param_map`."""
+        return self.to_param_map(discard=discard)
 
     def r_hat(self, discard: int = 0) -> Dict[str, float]:
         """Split-chain Gelman-Rubin (mirror of ``diagnostics.rs:39-110``)."""

@@ -127,7 +127,13 @@ class Normal(Distribution):
 
 
 class LogNormal(Distribution):
-    def __init__(self, mu: float, sigma: float):
+    def __init__(self, mu: float = None, sigma: float = None, *, mean=None, std=None):
+        if mean is not None or std is not None:
+            # reference keyword style: LogNormal(mean=..., std=...)
+            if mu is not None or sigma is not None:
+                raise ValueError("pass either (mu, sigma) or (mean=, std=)")
+            other = LogNormal.from_mean_std(mean, std)
+            mu, sigma = other.mu, other.sigma
         if sigma <= 0.0:
             raise ValueError(f"LogNormal: sigma ({sigma}) must be positive")
         self.mu = float(mu)

@@ -27,11 +27,38 @@ __all__ = ["ModelRunner", "DefaultModelRunner", "CompiledModelRunner"]
 
 
 class ModelRunner:
+    """Protocol base.
+
+    Also usable directly with the reference's convenience constructor:
+    ``ModelRunner(model_factory=fn, param_names=[...],
+    output_variables=[...])`` where ``fn(param_dict)`` returns
+    ``{var_name: {time: value}}``.
+    """
+
+    def __init__(self, model_factory=None, param_names=None, output_variables=None):
+        self._factory = model_factory
+        self._param_names = list(param_names) if param_names is not None else None
+        self._output_variables = (
+            list(output_variables) if output_variables is not None else None
+        )
+
     def param_names(self) -> List[str]:
+        if self._param_names is not None:
+            return list(self._param_names)
         raise NotImplementedError
 
     def run(self, params) -> ModelOutput:
-        raise NotImplementedError
+        if self._factory is None:
+            raise NotImplementedError
+        param_dict = dict(zip(self._param_names, np.asarray(params, dtype=float)))
+        result = self._factory(param_dict)
+        output = ModelOutput()
+        for name in self._output_variables or list(result):
+            var_output = VariableOutput(name)
+            for t, v in result[name].items():
+                var_output.add(float(t), float(v))
+            output.add_variable(var_output)
+        return output
 
     def run_batch(self, param_sets) -> list:
         """Default sequential batch; entries are ModelOutput or Exception."""

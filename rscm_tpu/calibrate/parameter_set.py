@@ -29,8 +29,16 @@ class ParameterSet:
         self.parameters[name] = distribution
         return self
 
-    def param_names(self) -> list:
-        return list(self.parameters)
+    class _CallableList(list):
+        """List that is also callable — the reference exposes
+        ``param_names`` as an attribute; this engine's internals call it."""
+
+        def __call__(self):
+            return list(self)
+
+    @property
+    def param_names(self) -> "ParameterSet._CallableList":
+        return ParameterSet._CallableList(self.parameters)
 
     def __len__(self) -> int:
         return len(self.parameters)

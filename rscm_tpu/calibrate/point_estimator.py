@@ -62,14 +62,41 @@ class PointEstimator:
         self.runner = runner
         self.likelihood = likelihood
         self.target = target
-        self.evaluated_params: List[List[float]] = []
-        self.evaluated_log_likelihoods: List[float] = []
+        self._evaluated_params: List[List[float]] = []
+        self._evaluated_log_likelihoods: List[float] = []
 
+    # reference API: counts/names are attributes, history via methods
+    @property
     def n_params(self) -> int:
         return len(self.params)
 
+    @property
     def param_names(self) -> list:
         return self.params.param_names()
+
+    @property
+    def n_evaluations(self) -> int:
+        return len(self._evaluated_params)
+
+    def evaluated_params(self) -> list:
+        return list(self._evaluated_params)
+
+    def evaluated_log_likelihoods(self) -> list:
+        return list(self._evaluated_log_likelihoods)
+
+    def clear_history(self) -> None:
+        self._evaluated_params.clear()
+        self._evaluated_log_likelihoods.clear()
+
+    def best(self):
+        """(params, log_likelihood) of the best finite evaluation, or None."""
+        if not self._evaluated_params:
+            return None
+        lls = np.asarray(self._evaluated_log_likelihoods, dtype=float)
+        if not np.any(np.isfinite(lls)):
+            return None
+        i = int(np.nanargmax(np.where(np.isfinite(lls), lls, -np.inf)))
+        return list(self._evaluated_params[i]), float(lls[i])
 
     def bounds(self):
         return self.params.bounds()
@@ -78,8 +105,8 @@ class PointEstimator:
         theta = list(np.asarray(theta, dtype=np.float64))
 
         def record(ll):
-            self.evaluated_params.append(theta)
-            self.evaluated_log_likelihoods.append(ll)
+            self._evaluated_params.append(theta)
+            self._evaluated_log_likelihoods.append(ll)
 
         try:
             log_prior = float(self.params.log_prior(np.asarray(theta)))
@@ -129,6 +156,11 @@ class PointEstimator:
 
 
 class Optimizer:
+    @staticmethod
+    def random_search(seed=None) -> "RandomSearch":
+        """Reference-style factory: ``Optimizer.random_search()``."""
+        return RandomSearch(seed)
+
     def optimize(self, estimator: PointEstimator, **kwargs) -> PointEstimate:
         raise NotImplementedError
 
@@ -156,7 +188,7 @@ class RandomSearch(Optimizer):
             log_posterior = estimator.evaluate(theta)
             if log_posterior > best_log_posterior:
                 best_log_posterior = log_posterior
-                best_log_likelihood = estimator.evaluated_log_likelihoods[-1]
+                best_log_likelihood = estimator._evaluated_log_likelihoods[-1]
                 best_params = list(theta)
         if best_params is None:
             raise RuntimeError("Random search found no valid samples")
@@ -211,7 +243,7 @@ class AdamOptimizer(Optimizer):
         final = estimator.evaluate(np.asarray(best_theta, dtype=np.float64))
         return PointEstimate(
             list(np.asarray(best_theta, dtype=np.float64)),
-            estimator.evaluated_log_likelihoods[-1],
+            estimator._evaluated_log_likelihoods[-1],
             final,
             self.n_steps,
             bool(np.isfinite(best_value)),
@@ -249,7 +281,7 @@ class LBFGSOptimizer(Optimizer):
         final = estimator.evaluate(theta)
         return PointEstimate(
             list(theta),
-            estimator.evaluated_log_likelihoods[-1],
+            estimator._evaluated_log_likelihoods[-1],
             final,
             int(result.nit) if hasattr(result, "nit") else self.n_steps,
             bool(result.success),

@@ -135,15 +135,16 @@ class SamplerState:
         return float(self.n_accepted.sum() / total) if total else 0.0
 
     def save_checkpoint(self, path: str):
-        np.savez_compressed(
-            path if path.endswith(".npz") else path + ".npz",
-            positions=self.positions,
-            log_probs=self.log_probs,
-            n_accepted=self.n_accepted,
-            n_proposed=self.n_proposed,
-            iteration=self.iteration,
-            param_names=np.asarray(self.param_names, dtype=object),
-        )
+        with open(path, "wb") as f:  # exact filename (np would append .npz)
+            np.savez_compressed(
+                f,
+                positions=self.positions,
+                log_probs=self.log_probs,
+                n_accepted=self.n_accepted,
+                n_proposed=self.n_proposed,
+                iteration=self.iteration,
+                param_names=np.asarray(self.param_names, dtype=object),
+            )
 
     @staticmethod
     def load_checkpoint(path: str) -> "SamplerState":
@@ -298,12 +299,15 @@ class EnsembleSampler:
         engine: Optional[str] = None,
     ) -> Chain:
         state = SamplerState.load_checkpoint(checkpoint_path + ".state")
-        chain = Chain.load(checkpoint_path + ".chain.npz")
+        chain = Chain.load(checkpoint_path + ".chain")
         rng = np.random.default_rng(seed)
+        # n_iterations is the TOTAL target, not additional iterations
+        # (sampler/ensemble.rs resume semantics)
+        remaining = max(0, int(n_iterations) - int(state.iteration))
         return self._run_from_state(
             state,
             chain,
-            n_iterations,
+            remaining,
             rng,
             progress_callback,
             engine,
@@ -354,7 +358,7 @@ class EnsembleSampler:
         if every and path and (iteration + 1) % every == 0:
             state.iteration = iteration + 1
             state.save_checkpoint(path + ".state")
-            chain.save(path + ".chain.npz")
+            chain.save(path + ".chain")
 
     # .. host engine (reference-faithful loop) ...................................
 

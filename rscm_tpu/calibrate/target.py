@@ -70,6 +70,24 @@ class Target:
             self.variables[name] = VariableTarget(name)
         return self.variables[name]
 
+    def add_observation(
+        self, name: str, time: float, value: float, uncertainty: float
+    ) -> "Target":
+        """Fluent single-call observation add (reference python API)."""
+        self.add_variable(name).add(time, value, uncertainty)
+        return self
+
+    def add_observation_relative(
+        self, name: str, time: float, value: float, relative_uncertainty: float
+    ) -> "Target":
+        self.add_variable(name).add_relative(time, value, relative_uncertainty)
+        return self
+
+    def set_reference_period(self, name: str, start: float, end: float) -> "Target":
+        """Anomaly target: model values are referenced to this period's mean."""
+        self.add_variable(name).with_reference_period(start, end)
+        return self
+
     def get_variable(self, name: str) -> Optional[VariableTarget]:
         return self.variables.get(name)
 

@@ -23,8 +23,9 @@ class IncompatibleSchemaError(ConfigError):
         self.config_version = config_version
         self.loader_version = loader_version
         super().__init__(
-            f"Configuration schema version {config_version} is incompatible "
-            f"with loader version {loader_version} (major versions differ)"
+            f"Incompatible schema version: config has version "
+            f"{config_version}, loader supports {loader_version} "
+            f"(major versions differ)"
         )
 
 

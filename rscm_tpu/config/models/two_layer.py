@@ -16,7 +16,11 @@ __all__ = ["TwoLayerParams", "TwoLayerParameters", "TwoLayerConfig"]
 
 @dataclass
 class TwoLayerParams:
-    """Held et al. (2010) two-layer EBM parameters with metadata."""
+    """Held et al. (2010) two-layer EBM parameters with metadata.
+
+    Values are validated against each field's ``range`` metadata on
+    construction (reference: python/rscm/config/models/two_layer.py).
+    """
 
     lambda0: float = parameter(
         default=1.0, unit="W/m^2/K", range=(0.0, 10.0), typical_range=(0.8, 1.5),
@@ -43,6 +47,14 @@ class TwoLayerParams:
         default=100.0, unit="W yr/m^2/K", range=(1.0, 10000.0),
         description="Deep-ocean heat capacity",
     )
+
+
+    def __post_init__(self):
+        from ..parameters import validate_parameters
+
+        violations = validate_parameters(self)
+        if violations:
+            raise ValueError("; ".join(violations))
 
 
 @dataclass

@@ -384,13 +384,29 @@ class Component(metaclass=ComponentMeta):
     def from_parameters(cls, parameters: dict):
         """Construct from a flat parameter dict (builder-macro parity).
 
-        Unknown keys are ignored with a warning — matching the reference's
-        serde deserialisation, which silently drops unrecognised fields
-        (``pythonize::depythonize``, no ``deny_unknown_fields``).
+        Mirrors the reference's serde deserialisation
+        (``pythonize::depythonize``): non-mapping input and missing
+        required (no-default) fields raise ``ValueError`` with serde's
+        message shapes; unknown keys are ignored with a warning (no
+        ``deny_unknown_fields``).
         """
         import warnings
+        from collections.abc import Mapping
+
+        if not isinstance(parameters, Mapping):
+            raise ValueError(
+                f"unexpected type: {type(parameters).__name__!r} object "
+                "cannot be cast as 'Mapping'"
+            )
 
         known = cls._component_parameters
+        for pname, decl in known.items():
+            if decl.default is None and pname not in parameters:
+                provided = {
+                    cls.parameter_aliases.get(k, k) for k in parameters
+                }
+                if pname not in provided:
+                    raise ValueError(f"missing field `{pname}`")
         cleaned = {}
         for key, value in parameters.items():
             key = cls.parameter_aliases.get(key, key)
@@ -460,7 +476,67 @@ class Component(metaclass=ComponentMeta):
     # -- solve --------------------------------------------------------------
 
     def solve(self, t_current, t_next, inputs):
+        """Solve one step.
+
+        Two call styles, mirroring the reference's PyO3 ``solve``
+        (``python/component.rs``): pass a ``TimeseriesCollection`` to run
+        the component standalone against raw data (State requirements read
+        their own series, everything else is treated as exogenous; returns
+        a plain ``{name: value}`` dict), or override this method in a
+        Python component to receive typed inputs.
+        """
+        from .timeseries import TimeseriesCollection
+
+        if isinstance(inputs, TimeseriesCollection):
+            return self._solve_collection(t_current, t_next, inputs)
         raise NotImplementedError("Subclasses must implement solve()")
+
+    def _solve_collection(self, t_current, t_next, collection):
+        from .model.input_state import InputState
+        from .state import VariableSource, make_window
+        from .spatial import grid_for_type
+
+        builders = {}
+        for definition in self.definitions():
+            if definition.requirement_type is RequirementType.Output:
+                continue
+            data = collection.get_data(definition.name)
+            if data is None:
+                raise KeyError(
+                    f"Variable '{definition.name}' not found in collection"
+                )
+            source = (
+                VariableSource.OwnState
+                if definition.requirement_type is RequirementType.State
+                else VariableSource.Exogenous
+            )
+            idx = data.time_axis().index_of(t_current)
+
+            def make(data=data, idx=idx, definition=definition, source=source):
+                import numpy as _np
+
+                values = _np.asarray(data.values())
+                if values.ndim == 1:  # reference-style flat scalar series
+                    values = values[:, None]
+                return make_window(
+                    definition.grid_type,
+                    values,
+                    idx,
+                    t_current,
+                    source=source,
+                    strategy=data.interpolation_strategy,
+                    time_values=data.time_axis().values(),
+                    grid=grid_for_type(definition.grid_type),
+                )
+
+            builders[definition.name] = make
+
+        ctx = SolveContext(t_current=t_current, t_next=t_next, step_index=0)
+        typed = self.Inputs.from_input_state(InputState(builders, t_current))
+        outputs, _ = self.solve_ctx(ctx, typed, self.create_initial_state())
+        if hasattr(outputs, "to_dict"):
+            outputs = outputs.to_dict()
+        return dict(outputs)
 
     # Internal (private) state threading — mirror of ComponentState
     # (component.rs:311-329).  Return a pytree (dict of arrays) or None.

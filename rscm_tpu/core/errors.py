@@ -10,8 +10,13 @@ diagnostics are part of the product surface.  All errors derive from
 from __future__ import annotations
 
 
-class RSCMError(Exception):
-    """Base class for all rscm_tpu errors."""
+class RSCMError(ValueError):
+    """Base class for all rscm_tpu errors.
+
+    Subclasses ``ValueError`` because the reference's PyO3 layer maps every
+    engine error to ``ValueError`` — code written against the reference
+    catches ``ValueError``.
+    """
 
 
 class ExtrapolationError(RSCMError):
@@ -59,7 +64,8 @@ class UnsupportedGridTransformationError(RSCMError):
         self.target_grid = target_grid
         super().__init__(
             f"Unsupported grid transformation for variable '{variable}': "
-            f"{source_grid} -> {target_grid}. Automatic transformations only "
+            f"cannot transform from {source_grid} to {target_grid}. "
+            f"Automatic transformations only "
             f"aggregate fine -> coarse (FourBox -> Hemispheric/Scalar, "
             f"Hemispheric -> Scalar); disaggregation requires an explicit component."
         )

@@ -19,7 +19,7 @@ class TestComponent(Component, register=False):
     emissions_co2 = Input("Emissions|CO2", unit="GtCO2")
     concentration_co2 = Output("Concentrations|CO2", unit="ppm")
 
-    conversion_factor = Parameter(default=1.0)
+    conversion_factor = Parameter(description="Emissions -> concentration factor")
 
     def calculate_concentration(self, emissions):
         return emissions * self.conversion_factor
@@ -40,7 +40,9 @@ class TestComponentBuilder:
 
     @classmethod
     def from_parameters(cls, parameters: dict) -> "TestComponentBuilder":
+        # validate eagerly, like serde deserialisation in the reference
+        TestComponent.from_parameters(parameters)
         return cls(parameters)
 
     def build(self) -> TestComponent:
-        return TestComponent(**self._parameters)
+        return TestComponent.from_parameters(self._parameters)

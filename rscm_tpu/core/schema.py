@@ -155,13 +155,13 @@ class VariableSchema:
         if isinstance(operation, str):
             if operation == "Weighted":
                 if weights is None:
-                    raise ValueError("Weighted aggregate requires weights")
+                    raise ValueError("Weighted aggregation weights must be provided")
                 operation = AggregateOp.weighted(weights)
             elif operation in ("Sum", "Mean"):
                 operation = AggregateOp(operation)
             else:
                 raise ValueError(
-                    f"Unknown aggregate operation: {operation}. "
+                    f"Unknown operation for aggregate: {operation}. "
                     f'Must be "Sum", "Mean", or "Weighted"'
                 )
         self.aggregates[name] = AggregateDefinition(
@@ -208,7 +208,7 @@ class VariableSchema:
             for contributor in agg_def.contributors:
                 if not self.contains(contributor):
                     raise SchemaValidationError(
-                        f"Aggregate '{agg_name}' references undefined contributor "
+                        f"Aggregate '{agg_name}': Undefined contributor "
                         f"'{contributor}'"
                     )
                 c_unit = self.get_unit(contributor)

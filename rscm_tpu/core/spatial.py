@@ -75,11 +75,14 @@ def grid_size(grid_type: GridType) -> int:
 
 class ScalarRegion(IntEnum):
     Global = 0
+    GLOBAL = 0  # reference constant-style alias
 
 
 class HemisphericRegion(IntEnum):
     Northern = 0
     Southern = 1
+    NORTHERN = 0  # reference constant-style aliases
+    SOUTHERN = 1
 
 
 class FourBoxRegion(IntEnum):
@@ -87,6 +90,25 @@ class FourBoxRegion(IntEnum):
     NorthernLand = 1
     SouthernOcean = 2
     SouthernLand = 3
+    NORTHERN_OCEAN = 0  # reference constant-style aliases
+    NORTHERN_LAND = 1
+    SOUTHERN_OCEAN = 2
+    SOUTHERN_LAND = 3
+
+
+class _Weights(np.ndarray):
+    """Area-weight vector; also callable, matching the reference's
+    ``grid.weights()`` method style while staying a plain ndarray for the
+    rest of the engine (``grid.weights`` attribute access)."""
+
+    def __call__(self) -> np.ndarray:
+        return np.asarray(self)
+
+
+def _as_weights(values) -> "_Weights":
+    w = np.asarray(values, dtype=np.float64).view(_Weights)
+    w.setflags(write=False)
+    return w
 
 
 class SpatialGrid:
@@ -143,8 +165,7 @@ class ScalarGrid(SpatialGrid):
     grid_type = GridType.Scalar
 
     def __init__(self):
-        self.weights = np.array([1.0])
-        self.weights.setflags(write=False)
+        self.weights = _as_weights([1.0])
 
     def region_names(self) -> list:
         return ["Global"]
@@ -166,7 +187,7 @@ class HemisphericGrid(SpatialGrid):
         assert abs(float(weights.sum()) - 1.0) < 1e-6, (
             f"Weights must sum to 1.0, got {float(weights.sum())}"
         )
-        self.weights = weights
+        self.weights = _as_weights(weights)
         self.weights.setflags(write=False)
 
     @staticmethod
@@ -209,7 +230,7 @@ class FourBoxGrid(SpatialGrid):
             "Southern hemisphere weights must be non-zero for hemispheric "
             f"transformation, got {southern}"
         )
-        self.weights = weights
+        self.weights = _as_weights(weights)
         self.weights.setflags(write=False)
 
     @staticmethod

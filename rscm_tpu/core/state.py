@@ -79,7 +79,8 @@ class _Slice:
     _field_names: tuple = ()
 
     def __init__(self, *args, **kwargs):
-        values = [0.0] * self._size
+        # unset regions default to NaN (reference slice semantics)
+        values = [float("nan")] * self._size
         for i, v in enumerate(args):
             values[i] = v
         for name, v in kwargs.items():
@@ -96,11 +97,20 @@ class _Slice:
         assert len(values) == cls._size
         return cls(*values)
 
+    def _check_region(self, region) -> int:
+        region = int(region)
+        if not 0 <= region < self._size:
+            raise ValueError(
+                f"Invalid region index {region} for {type(self).__name__} "
+                f"(size {self._size})"
+            )
+        return region
+
     def get(self, region) -> float:
-        return self._values[int(region)]
+        return self._values[self._check_region(region)]
 
     def set(self, region, value):
-        self._values[int(region)] = value
+        self._values[self._check_region(region)] = value
 
     def as_array(self):
         """Regional values as an array (jnp when any value is traced)."""
@@ -299,7 +309,14 @@ class StateValue:
         return self.value == other.value
 
     def __repr__(self):
-        return f"StateValue.{self.kind.value}({self.value!r})"
+        # constructor-style, matching the reference (state/mod.rs Display):
+        # StateValue.scalar(42.0) / StateValue.four_box(FourBoxSlice(...))
+        constructor = {
+            "Scalar": "scalar",
+            "FourBox": "four_box",
+            "Hemispheric": "hemispheric",
+        }.get(self.kind.value, self.kind.value)
+        return f"StateValue.{constructor}({self.value!r})"
 
 
 # ---------------------------------------------------------------------------
@@ -342,7 +359,7 @@ class _WindowBase:
         self,
         values,
         current_index,
-        current_time,
+        current_time=None,
         factor: float = 1.0,
         source: str = VariableSource.Exogenous,
         strategy: InterpolationStrategy = None,

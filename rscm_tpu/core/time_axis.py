@@ -35,6 +35,9 @@ class TimeAxis:
 
         Mirror of ``TimeAxis::from_values`` (``timeseries.rs:66-77``).
         """
+        if isinstance(values, list):
+            # reference (PyO3 numpy) rejects plain lists
+            raise TypeError("'list' object cannot be cast as 'ndarray'")
         values = np.asarray(values, dtype=np.float64)
         assert len(values) >= 2, "TimeAxis requires at least 2 values"
         step = values[-1] - values[-2]
@@ -48,7 +51,9 @@ class TimeAxis:
     # -- accessors ----------------------------------------------------------
 
     def values(self) -> np.ndarray:
-        return self._bounds[: len(self)]
+        # a fresh owned copy (the reference returns a copy out of Rust;
+        # callers mutating it must not corrupt the axis)
+        return self._bounds[: len(self)].copy()
 
     def bounds(self) -> np.ndarray:
         return self._bounds
@@ -66,14 +71,20 @@ class TimeAxis:
         return float(self._bounds[len(self)])
 
     def at(self, index: int):
-        """Time value for a step, or None when out of range."""
-        if 0 <= index < len(self):
+        """Time value for a step, None past the end; negative raises
+        (reference: Rust usize conversion overflows)."""
+        if index < 0:
+            raise OverflowError("can't convert negative int to unsigned")
+        if index < len(self):
             return float(self._bounds[index])
         return None
 
     def at_bounds(self, index: int):
-        """(start, end) bounds for a step, or None when out of range."""
-        if 0 <= index < len(self):
+        """(start, end) bounds for a step, None past the end; negative
+        raises (reference: Rust usize conversion overflows)."""
+        if index < 0:
+            raise OverflowError("can't convert negative int to unsigned")
+        if index < len(self):
             return (float(self._bounds[index]), float(self._bounds[index + 1]))
         return None
 
@@ -110,8 +121,12 @@ class TimeAxis:
         return hash(self._bounds.tobytes())
 
     def __repr__(self) -> str:
+        # the reference exposes Rust's Debug formatting; kept verbatim since
+        # downstream code (and its tests) match on it
+        bounds = ", ".join(repr(float(b)) for b in self._bounds)
         return (
-            f"TimeAxis(n={len(self)}, start={self.first()}, stop={self.last()})"
+            f"TimeAxis {{ bounds: [{bounds}], shape=[{len(self._bounds)}], "
+            f"strides=[1], layout=CFcf (0xf), const ndim=1 }}"
         )
 
     # -- serialisation ------------------------------------------------------

@@ -62,8 +62,16 @@ class GridTimeseries:
         values = np.array(values, dtype=np.float64)
         if values.ndim == 1:
             values = values[:, None]
-        assert values.shape[0] == len(time_axis), "Time dimension must match time axis length"
-        assert values.shape[1] == grid.size(), "Space dimension must match grid size"
+        if values.shape[0] != len(time_axis):
+            raise ValueError(
+                f"Time dimension ({values.shape[0]}) must match time axis "
+                f"length ({len(time_axis)})"
+            )
+        if values.shape[1] != grid.size():
+            raise ValueError(
+                f"Space dimension ({values.shape[1]}) must match grid size "
+                f"({grid.size()})"
+            )
         self.grid = grid
         self._values = values
         self._time_axis = time_axis
@@ -342,7 +350,9 @@ class TimeseriesCollection:
     ):
         if timeseries.grid.size() != 1:
             raise GridOutputMismatchError(name, "Scalar", timeseries.grid.grid_name())
-        self._add(name, timeseries, variable_type)
+        # store a copy: later mutation of the caller's object must not leak
+        # into the collection (reference clones on add)
+        self._add(name, timeseries.copy(), variable_type)
 
     def add_four_box_timeseries(
         self, name: str, timeseries: GridTimeseries,
@@ -350,7 +360,9 @@ class TimeseriesCollection:
     ):
         if timeseries.grid.size() != 4:
             raise GridOutputMismatchError(name, "FourBox", timeseries.grid.grid_name())
-        self._add(name, timeseries, variable_type)
+        # store a copy: later mutation of the caller's object must not leak
+        # into the collection (reference clones on add)
+        self._add(name, timeseries.copy(), variable_type)
 
     def add_hemispheric_timeseries(
         self, name: str, timeseries: GridTimeseries,
@@ -358,7 +370,9 @@ class TimeseriesCollection:
     ):
         if timeseries.grid.size() != 2:
             raise GridOutputMismatchError(name, "Hemispheric", timeseries.grid.grid_name())
-        self._add(name, timeseries, variable_type)
+        # store a copy: later mutation of the caller's object must not leak
+        # into the collection (reference clones on add)
+        self._add(name, timeseries.copy(), variable_type)
 
     def add_grid_timeseries(
         self, name: str, timeseries: GridTimeseries,
@@ -467,4 +481,5 @@ class TimeseriesCollection:
         return out
 
     def __repr__(self):
-        return f"TimeseriesCollection({self.names()})"
+        names = ", ".join(f'"{n}"' for n in self.names())
+        return f"<TimeseriesCollection names=[{names}]>"

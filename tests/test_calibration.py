@@ -279,9 +279,9 @@ class TestEnsembleSampler:
         )
         assert len(chain1) == 10
         chain2 = sampler.resume_from_checkpoint(
-            n_iterations=5, thin=1, checkpoint_every=5, checkpoint_path=path,
+            n_iterations=15, thin=1, checkpoint_every=5, checkpoint_path=path,
             seed=12,
-        )
+        )  # n_iterations is the TOTAL target (reference semantics)
         assert len(chain2) == 15  # resumed chain includes prior samples
 
     def test_progress_callback(self, compiled_runner):

@@ -68,9 +68,9 @@ class TestCheckpointResume:
         assert np.all(np.isfinite(state.log_probs))
 
         chain2 = sampler.resume_from_checkpoint(
-            n_iterations=20, thin=1, checkpoint_every=10, checkpoint_path=path,
+            n_iterations=50, thin=1, checkpoint_every=10, checkpoint_path=path,
             seed=2,
-        )
+        )  # n_iterations is the TOTAL target (reference semantics)
         assert len(chain2) == 50
         # resumed samples continue from checkpointed positions: the first
         # resumed iteration's walkers stay inside the prior support
@@ -83,7 +83,7 @@ class TestCheckpointResume:
             n_iterations=25, init=WalkerInit.from_prior(), thin=1,
             checkpoint_every=10, checkpoint_path=path, seed=3,
         )
-        chain = Chain.load(path + ".chain.npz")
+        chain = Chain.load(path + ".chain")
         # last checkpoint fired at iteration 20
         assert len(chain) >= 20
 

@@ -26,11 +26,11 @@ class TestFourBoxSlice:
     def test_constructor_partial_kwargs(self):
         s = FourBoxSlice(northern_ocean=5.0)
         assert s.northern_ocean == 5.0
-        assert s.northern_land == 0.0
+        assert np.isnan(s.northern_land)  # unset regions default to NaN
 
     def test_default_constructor(self):
         s = FourBoxSlice()
-        assert s.to_list() == [0.0, 0.0, 0.0, 0.0]
+        assert all(np.isnan(v) for v in s.to_list())
 
     def test_uniform(self):
         s = FourBoxSlice.uniform(7.5)
@@ -56,7 +56,7 @@ class TestFourBoxSlice:
 
     def test_invalid_index(self):
         s = FourBoxSlice()
-        with pytest.raises(IndexError):
+        with pytest.raises(ValueError, match="Invalid region index"):
             s.get(7)
 
     def test_len_and_arrays(self):
@@ -134,8 +134,9 @@ class TestStateValue:
         )
 
     def test_repr(self):
-        assert "Scalar" in repr(StateValue.scalar(1.0))
-        assert "FourBox" in repr(StateValue.four_box(FourBoxSlice()))
+        assert "StateValue.scalar(1" in repr(StateValue.scalar(1.0))
+        assert "StateValue.four_box" in repr(StateValue.four_box(FourBoxSlice()))
+        assert "FourBoxSlice" in repr(StateValue.four_box(FourBoxSlice()))
 
 
 class TestTypedComponentGridOutputs:
