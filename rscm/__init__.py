@@ -12,6 +12,15 @@ This package preserves the reference's public Python API
 - ``rscm.config`` — layered TOML config system
 """
 
-from rscm._lib import __version__ as _lib_version
+# The reference engine is Rust float64; code written against it assumes
+# double precision (its regression tolerances are 1e-5 and tighter).  The
+# compat surface therefore enables JAX x64 mode on import — exactly the
+# precision contract `import rscm` promised.  (TPU-first users wanting
+# float32 speed import `rscm_tpu` directly, which leaves the flag alone.)
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from rscm._lib import __version__ as _lib_version  # noqa: E402
 
 __version__ = _lib_version

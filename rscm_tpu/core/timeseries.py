@@ -305,6 +305,17 @@ class GridTimeseries:
 
 # Scalar timeseries is just a GridTimeseries on a ScalarGrid
 # (mirror of the type alias at timeseries.rs:860).
+class _ScalarTimeseriesView(GridTimeseries):
+    """Scalar timeseries clone whose ``values()`` is the flat 1-D series
+    (the reference's scalar ``Timeseries`` shape, returned by
+    ``TimeseriesCollection.get_timeseries_by_name``)."""
+
+    __slots__ = ()
+
+    def values(self) -> np.ndarray:
+        return self._values[:, 0]
+
+
 Timeseries = GridTimeseries
 
 
@@ -406,12 +417,24 @@ class TimeseriesCollection:
         item = self.get_item(name)
         return item.data if item is not None else None
 
-    def get_timeseries_by_name(self, name: str) -> Optional[GridTimeseries]:
-        """Scalar timeseries by name (clone), or None if absent/not scalar."""
+    def get_timeseries_by_name(self, name: str):
+        """Scalar timeseries by name (clone), or None if absent/not scalar.
+
+        The returned object's ``values()`` is the flat 1-D series, matching
+        the reference's scalar ``Timeseries`` (callers index ``[1:]`` etc.);
+        the internal 2-D layout stays on :meth:`get_data`.
+        """
         item = self.get_item(name)
         if item is None or item.data.grid.size() != 1:
             return None
-        return item.data.copy()
+        data = item.data
+        return _ScalarTimeseriesView(
+            data.values(),
+            data.time_axis(),
+            data.grid,
+            data.units,
+            data.interpolation_strategy,
+        )
 
     def get_fourbox_timeseries_by_name(self, name: str) -> Optional[GridTimeseries]:
         item = self.get_item(name)

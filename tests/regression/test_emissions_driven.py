@@ -204,11 +204,11 @@ def test_emissions_driven_pathway_runs(emissions_setup):
     results = model.timeseries()
 
     co2 = np.asarray(results.get_timeseries_by_name(
-        "Atmospheric Concentration|CO2").values())[:, 0]
+        "Atmospheric Concentration|CO2").values())
     ch4 = np.asarray(results.get_timeseries_by_name(
-        "Atmospheric Concentration|CH4").values())[:, 0]
+        "Atmospheric Concentration|CH4").values())
     sst = np.asarray(results.get_timeseries_by_name(
-        "Sea Surface Temperature").values())[:, 0]
+        "Sea Surface Temperature").values())
 
     # structural: no NaN holes after step 0, rising CO2 under SSP245
     assert np.all(np.isfinite(co2[1:]))
@@ -231,9 +231,9 @@ def test_emissions_driven_carbon_conservation(emissions_setup):
     results = model.timeseries()
 
     co2 = np.asarray(results.get_timeseries_by_name(
-        "Atmospheric Concentration|CO2").values())[:, 0]
+        "Atmospheric Concentration|CO2").values())
     net = np.asarray(results.get_timeseries_by_name(
-        "Emissions|CO2|Net").values())[:, 0]
+        "Emissions|CO2|Net").values())
 
     gtc_per_ppm = 2.123
     growth_gtc = np.diff(co2[1:]) * gtc_per_ppm
