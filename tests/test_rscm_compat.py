@@ -263,3 +263,12 @@ def test_reference_public_api_present(module_name):
         if not hasattr(module, name)
     ]
     assert not missing, f"{module_name} missing reference names: {missing}"
+
+
+def test_import_rscm_enables_x64():
+    """`import rscm` promises the reference's float64 precision."""
+    import jax
+
+    import rscm  # noqa: F401
+
+    assert jax.config.jax_enable_x64 is True
