@@ -34,6 +34,8 @@ def _extract(config: Any):
         components = config.get("components", {})
         time_config = config.get("time", {})
         initial_values = config.get("initial_values", {}) or {}
+        inputs = config.get("inputs", {}) or {}
+        base_dir = config.get("_base_dir")
     else:
         components = {
             "climate": {
@@ -48,14 +50,49 @@ def _extract(config: Any):
             else {}
         )
         initial_values = getattr(config, "initial_values", {}) or {}
-    return components, time_config, initial_values
+        inputs = getattr(config, "inputs", {}) or {}
+        base_dir = None
+    return components, time_config, initial_values, inputs, base_dir
+
+
+def _resolve_inputs(inputs: dict, time_config: dict, base_dir):
+    """Input specs -> Timeseries: ``{file=..}`` loads a scenario CSV;
+    ``{values=[..], times=[..]}`` builds inline data; a bare number is a
+    constant over the model's time span."""
+    from rscm_tpu.core import TimeAxis, Timeseries
+    from rscm_tpu.core.spatial import ScalarGrid
+
+    out = {}
+    for name, spec in (inputs or {}).items():
+        if isinstance(spec, dict) and spec.get("file"):
+            from rscm_tpu.utils.scenario_io import load_input_spec
+
+            out[name] = load_input_spec(name, spec, base_dir=base_dir)
+        elif isinstance(spec, dict) and "values" in spec:
+            times = np.asarray(spec["times"], dtype=float)
+            values = np.asarray(spec["values"], dtype=float)
+            out[name] = Timeseries(
+                values, TimeAxis.from_values(times), ScalarGrid(),
+                spec.get("unit", ""),
+            )
+        elif isinstance(spec, (int, float)):
+            start = float(time_config.get("start", 1750))
+            end = float(time_config.get("end", 2100))
+            times = np.asarray([start, end])
+            out[name] = Timeseries(
+                np.asarray([float(spec), float(spec)]),
+                TimeAxis.from_values(times), ScalarGrid(), "",
+            )
+        else:
+            raise ValueError(f"input '{name}': unsupported spec {spec!r}")
+    return out
 
 
 def build_two_layer_model(config: Any):
     from rscm_tpu.core import ModelBuilder, TimeAxis
     from . import models  # noqa: F401  (side-effect: registers builders)
 
-    components, time_config, initial_values = _extract(config)
+    components, time_config, initial_values, inputs, base_dir = _extract(config)
     params = components.get("climate", {}).get("parameters", {})
 
     builder_cls = component_registry.get("TwoLayer")
@@ -69,6 +106,9 @@ def build_two_layer_model(config: Any):
             TimeAxis.from_values(np.arange(start, end + 1, dtype=float))
         )
     model_builder = model_builder.with_component(component)
+
+    for name, spec in _resolve_inputs(inputs, time_config, base_dir).items():
+        model_builder = model_builder.with_exogenous_variable(name, spec)
 
     defaults = {"Surface Temperature": 0.0, "Deep Ocean Temperature": 0.0}
     defaults.update(initial_values)

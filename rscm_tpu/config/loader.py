@@ -46,6 +46,8 @@ def load_config(path) -> dict:
             f"Unknown configuration keys in {path}: {', '.join(unknown)}. "
             "These will be ignored."
         )
+    # remember where the config lives so relative input files resolve
+    config["_base_dir"] = str(path.parent)
     return config
 
 
