@@ -87,6 +87,14 @@ def load_input_spec(name: str, spec, base_dir=None) -> Timeseries:
     if name in series:
         ts = series[name]
     elif len(series) == 1:
+        import warnings
+
+        only = next(iter(series))
+        warnings.warn(
+            f"input '{name}': column not found in {path}; using the file's "
+            f"only data column '{only}'",
+            stacklevel=2,
+        )
         ts = next(iter(series.values()))
     else:
         raise KeyError(
