@@ -92,3 +92,17 @@ def target_from_dataframe(
                 uncertainty = float(row[col])
             vt.add(time, value, uncertainty)
     return target
+
+
+# Attach as a method, mirroring the reference's monkey-patch
+# (python/rscm/calibrate/__init__.py): chain.to_dataframe(discard=...)
+def _install_chain_to_dataframe():
+    from .chain import Chain
+
+    def to_dataframe(self, discard: int = 0):
+        return chain_to_dataframe(self, discard)
+
+    Chain.to_dataframe = to_dataframe
+
+
+_install_chain_to_dataframe()
