@@ -117,6 +117,23 @@ def main():
         times.append(time.perf_counter() - t0)
     best = min(times)
 
+    # secondary scale point: 100k members through a fresh runner (one
+    # executable per process — see axon second-executable caveat)
+    big_n = 100_000
+    big_runner = EnsembleRunner(build_model())
+    big_params = big_runner.batched_params(
+        {"TwoLayer.lambda0": rng.uniform(0.8, 1.8, big_n)}
+    )
+    big_out = big_runner.run(params=big_params, out_vars=["Surface Temperature"])
+    jax.block_until_ready(big_out)
+    big_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        big_out = big_runner.run(params=big_params, out_vars=["Surface Temperature"])
+        jax.block_until_ready(big_out)
+        big_times.append(time.perf_counter() - t0)
+    big_best = min(big_times)
+
     value = member_years / best
     north_star = 100_000 * 550 / 1.0  # 100k members, 1750-2300, <1s
     result = {
@@ -133,6 +150,8 @@ def main():
             "final_temp_sample_K": float(
                 np.asarray(out["Surface Temperature"])[0, -1, 0]
             ),
+            "wall_s_100k_members_551yr": big_best,
+            "member_years_per_sec_100k": big_n * (n_years - 1) / big_best,
         },
     }
     print(json.dumps(result))
