@@ -124,3 +124,101 @@ def test_random_dag_host_matches_compiled(seed):
             h, c, rtol=1e-10, atol=1e-12,
             err_msg=f"seed={seed} variable={name}",
         )
+
+
+def _make_fourbox_component(class_name, input_var, output_var):
+    """Dynamic FourBox component: per-region affine with region offsets."""
+    namespace = {
+        "__doc__": f"fuzz fourbox node {class_name}",
+        "gain": Parameter(default=1.0),
+        "inp": Input(input_var, unit="W/m^2"),
+        "out": Output(output_var, unit="W/m^2", grid="FourBox"),
+    }
+
+    def solve_ctx(self, ctx, inputs, internal_state):
+        base = inputs.inp.get()
+        from rscm_tpu.core.state import FourBoxSlice
+
+        return (
+            self.Outputs(
+                out=FourBoxSlice(
+                    self.gain * base + 0.1,
+                    self.gain * base + 0.2,
+                    self.gain * base - 0.1,
+                    self.gain * base - 0.2,
+                )
+            ),
+            internal_state,
+        )
+
+    namespace["solve_ctx"] = solve_ctx
+    return type(class_name, (Component,), namespace, register=False)
+
+
+def _make_global_reader(class_name, fourbox_var, output_var):
+    """Reads a FourBox variable through a Scalar window (read-side
+    aggregation baked into the plan)."""
+    namespace = {
+        "__doc__": f"fuzz aggregating reader {class_name}",
+        "inp": Input(fourbox_var, unit="W/m^2"),  # scalar view of FourBox
+        "out": Output(output_var, unit="W/m^2"),
+    }
+
+    def solve_ctx(self, ctx, inputs, internal_state):
+        return self.Outputs(out=2.0 * inputs.inp.get()), internal_state
+
+    namespace["solve_ctx"] = solve_ctx
+    return type(class_name, (Component,), namespace, register=False)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_grid_pipelines_host_match_compiled(seed):
+    """Scalar -> FourBox -> (aggregated) Scalar chains across random
+    insertion orders, host vs compiled."""
+    from rscm_tpu.core import GridType
+
+    rng = random.Random(100 + seed)
+    years = np.arange(2000.0, 2000.0 + rng.randrange(5, 12))
+
+    def build():
+        schema = VariableSchema()
+        schema.add_variable("Fuzz|Source", "W/m^2")
+        schema.add_variable("Fuzz|Grid", "W/m^2", GridType.FourBox)
+        schema.add_variable("Fuzz|Global", "W/m^2")
+
+        components = [
+            _make_fourbox_component(f"FuzzGrid{seed}", "Fuzz|Source", "Fuzz|Grid"),
+            _make_global_reader(f"FuzzRead{seed}", "Fuzz|Grid", "Fuzz|Global"),
+        ]
+        comps = [cls(gain=1.0 + 0.1 * seed) if hasattr(cls, "gain") else cls()
+                 for cls in components]
+        order = list(range(len(comps)))
+        rng2 = random.Random(seed)
+        rng2.shuffle(order)
+
+        builder = (
+            ModelBuilder()
+            .with_time_axis(TimeAxis.from_values(years))
+            .with_schema(schema)
+        )
+        for i in order:
+            builder = builder.with_component(comps[i])
+        return (
+            builder.with_exogenous_variable(
+                "Fuzz|Source",
+                Timeseries.from_values(np.linspace(1.0, 2.0, len(years)), years),
+            )
+            .build()
+        )
+
+    host = build()
+    host.run(compiled=False)
+    compiled = build()
+    compiled.run(compiled=True)
+
+    for name in ["Fuzz|Grid", "Fuzz|Global"]:
+        np.testing.assert_allclose(
+            host.collection.get_data(name).values(),
+            compiled.collection.get_data(name).values(),
+            rtol=1e-10, atol=1e-12, err_msg=f"seed={seed} {name}",
+        )
