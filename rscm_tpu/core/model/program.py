@@ -50,13 +50,19 @@ __all__ = ["ModelProgram"]
 class ModelProgram:
     """Compiled ``lax.scan`` program for a built model."""
 
-    def __init__(self, model, dtype=None):
+    def __init__(self, model, dtype=None, scan_unroll: int = 1):
         import jax
 
         self.model = model
         if dtype is None:
             dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
         self.dtype = np.dtype(dtype)
+        # Unrolling the time scan trades program size for per-iteration scan
+        # overhead.  Measured on TPU v5e (flagship model, 10k members):
+        # unroll=4 was ~1.6x SLOWER than plain scan (0.86 -> 1.37 ms) — the
+        # scan's per-iteration cost is already negligible there — so 1 is
+        # the default; the knob exists for other hardware/program shapes.
+        self.scan_unroll = int(scan_unroll)
 
         # Static structure ---------------------------------------------------
         self.exec_nodes = [
@@ -191,7 +197,9 @@ class ModelProgram:
         def step_with_params(carry, x):
             return step_fn(carry, {**x, "params": params})
 
-        (endo, internals), _ = lax.scan(step_with_params, (endo, internals), xs)
+        (endo, internals), _ = lax.scan(
+            step_with_params, (endo, internals), xs, unroll=self.scan_unroll
+        )
         return endo, internals
 
     # -- host data marshalling ----------------------------------------------
