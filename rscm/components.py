@@ -1,4 +1,7 @@
-"""Generic component builders (reference surface of ``rscm.components``)."""
+"""``rscm.components`` — generic component builders, resolved to the JAX
+engine's implementations (the reference binds these names to its Rust
+components): one-box carbon cycle, logarithmic CO2 forcing, and the
+four-box ocean heat uptake."""
 
 from rscm_tpu.components import (
     CarbonCycleBuilder,
@@ -6,4 +9,8 @@ from rscm_tpu.components import (
     FourBoxOceanHeatUptakeBuilder,
 )
 
-__all__ = ["CarbonCycleBuilder", "CO2ERFBuilder", "FourBoxOceanHeatUptakeBuilder"]
+__all__ = [
+    "CarbonCycleBuilder",
+    "CO2ERFBuilder",
+    "FourBoxOceanHeatUptakeBuilder",
+]

@@ -1,4 +1,6 @@
-"""Two-layer climate model component (reference surface)."""
+"""``rscm.two_layer`` — the Held et al. (2010) two-layer energy-balance
+component, resolved to the JAX engine's implementation (the reference
+binds this name to its Rust component)."""
 
 from rscm_tpu.components import TwoLayerBuilder
 

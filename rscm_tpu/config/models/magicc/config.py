@@ -1,5 +1,10 @@
-"""MAGICC model configuration dataclasses
-(mirror of python/rscm/config/models/magicc/config.py)."""
+"""MAGICC model configuration dataclasses.
+
+Behavioral mirror of ``python/rscm/config/models/magicc/config.py``: typed
+containers for climate/forcing/aggregation blocks that the legacy-mapping
+layer and ``build_model`` consume.  Field defaults follow MAGICC7's
+standard configuration (ECS 3.0 K, 2xCO2 forcing 3.71 W/m^2).
+"""
 
 from __future__ import annotations
 

@@ -1,6 +1,12 @@
 """Bidirectional mapping between MAGICC .CFG format and nested configs.
 
-Mirror of ``python/rscm/config/models/magicc/legacy.py:15-109``.
+Behavioral mirror of ``python/rscm/config/models/magicc/legacy.py:15-109``
+with one deliberate extension: parameters the reference registry tracks as
+NOT_IMPLEMENTED but this engine implements (the GHG forcing method and
+rapid adjustments) are SUPPORTED here and map through — see
+ARCHITECTURE.md "Known deviations".  The mapping table derives from
+``MAGICC_PARAMETERS`` dot-paths; nested get/set walks plain dicts so the
+output feeds ``build_model``'s TOML-shaped configs directly.
 """
 
 from __future__ import annotations
