@@ -13,7 +13,7 @@ TUTORIALS = sorted(
     (pathlib.Path(__file__).resolve().parents[1] / "docs" / "tutorials").glob("*.py")
 )
 
-_HEAVY = {"01", "06", "07", "10"}  # multi-compile / MCMC tutorials
+_HEAVY = {"01", "06", "07", "10", "11"}  # multi-compile / MCMC / full-MAGICC
 
 
 def _params():
