@@ -109,7 +109,7 @@ def _random_model(seed):
     ), produced
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(16))
 def test_random_dag_host_matches_compiled(seed):
     host, produced = _random_model(seed)
     compiled, _ = _random_model(seed)
@@ -217,6 +217,74 @@ def test_grid_pipelines_host_match_compiled(seed):
     compiled.run(compiled=True)
 
     for name in ["Fuzz|Grid", "Fuzz|Global"]:
+        np.testing.assert_allclose(
+            host.collection.get_data(name).values(),
+            compiled.collection.get_data(name).values(),
+            rtol=1e-10, atol=1e-12, err_msg=f"seed={seed} {name}",
+        )
+
+
+def _make_hemispheric_component(class_name, input_var, output_var):
+    namespace = {
+        "__doc__": f"fuzz hemispheric node {class_name}",
+        "gain": Parameter(default=1.0),
+        "inp": Input(input_var, unit="W/m^2"),
+        "out": Output(output_var, unit="W/m^2", grid="Hemispheric"),
+    }
+
+    def solve_ctx(self, ctx, inputs, internal_state):
+        base = inputs.inp.get()
+        from rscm_tpu.core.state import HemisphericSlice
+
+        return (
+            self.Outputs(
+                out=HemisphericSlice(self.gain * base + 0.3, self.gain * base - 0.3)
+            ),
+            internal_state,
+        )
+
+    namespace["solve_ctx"] = solve_ctx
+    return type(class_name, (Component,), namespace, register=False)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_hemispheric_pipeline_host_matches_compiled(seed):
+    """Scalar -> Hemispheric -> aggregated Scalar, host vs compiled."""
+    from rscm_tpu.core import GridType
+
+    years = np.arange(2000.0, 2008.0)
+
+    def build():
+        schema = VariableSchema()
+        schema.add_variable("Fuzz|Source", "W/m^2")
+        schema.add_variable("Fuzz|Hemi", "W/m^2", GridType.Hemispheric)
+        schema.add_variable("Fuzz|Global", "W/m^2")
+        comps = [
+            _make_hemispheric_component(f"FuzzHemi{seed}", "Fuzz|Source", "Fuzz|Hemi")(
+                gain=1.0 + 0.2 * seed
+            ),
+            _make_global_reader(f"FuzzHemiRead{seed}", "Fuzz|Hemi", "Fuzz|Global")(),
+        ]
+        rng = random.Random(seed)
+        rng.shuffle(comps)
+        builder = (
+            ModelBuilder()
+            .with_time_axis(TimeAxis.from_values(years))
+            .with_schema(schema)
+        )
+        for comp in comps:
+            builder = builder.with_component(comp)
+        return (
+            builder.with_exogenous_variable(
+                "Fuzz|Source",
+                Timeseries.from_values(np.linspace(1.0, 2.0, len(years)), years),
+            )
+            .build()
+        )
+
+    host = build(); host.run(compiled=False)
+    compiled = build(); compiled.run(compiled=True)
+    for name in ["Fuzz|Hemi", "Fuzz|Global"]:
         np.testing.assert_allclose(
             host.collection.get_data(name).values(),
             compiled.collection.get_data(name).values(),
