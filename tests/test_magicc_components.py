@@ -384,3 +384,41 @@ class TestUDEBEndToEnd:
 
         ohc = model.collection.get_data("Ocean Heat Content").values()[:, 0]
         assert ohc[-1] > ohc[10] > 0.0
+
+
+class TestHalocarbonTableValues:
+    """Spot-check the species table against published assessment values
+    (WMO Ozone Assessment 2022 lifetimes, IPCC AR6 Table 7.SM.7 radiative
+    efficiencies) — independent of the reference implementation."""
+
+    def _species(self, name):
+        from rscm_tpu.magicc.chemistry.halocarbon import HALOCARBON_SPECIES
+
+        table = {s.name: s for s in HALOCARBON_SPECIES}
+        assert name in table, f"{name} missing from species table"
+        return table[name]
+
+    @pytest.mark.parametrize(
+        "name,lifetime,radeff",
+        [
+            # name, lifetime (yr), radiative efficiency (W/m^2/ppb)
+            ("CFC-11", 52.0, 0.295),     # WMO 2022: 52 yr; AR6: 0.291
+            ("CFC-12", 102.0, 0.364),    # WMO 2022: 102 yr; AR6: 0.358
+            ("HFC-134a", 14.0, 0.16),    # AR6: 14 yr, 0.167
+            ("CFC-115", 540.0, 0.20),    # WMO 2022: 540 yr
+        ],
+    )
+    def test_published_values(self, name, lifetime, radeff):
+        s = self._species(name)
+        assert s.lifetime == pytest.approx(lifetime, rel=0.05)
+        assert s.radiative_efficiency == pytest.approx(radeff, rel=0.10)
+
+    def test_halogen_loadings(self):
+        """Chlorine/bromine atom counts follow the molecular formulae."""
+        assert self._species("CFC-11").n_cl == 3   # CCl3F
+        assert self._species("CFC-12").n_cl == 2   # CCl2F2
+        assert self._species("HFC-134a").n_cl == 0 # no halogen for EESC
+
+    def test_molecular_weights(self):
+        assert self._species("CFC-11").molecular_weight == pytest.approx(137.4, rel=0.01)
+        assert self._species("HFC-134a").molecular_weight == pytest.approx(102.0, rel=0.01)
