@@ -97,6 +97,11 @@ int64_t rscm_csv_read(const char* path, double* out, int64_t capacity) {
     char buf[64];
     size_t blen = 0;
     bool any_in_line = false;
+    // Whitespace handling matches the Python fallback's float(cell):
+    // leading/trailing spaces are stripped, but a space *inside* the
+    // numeric content (e.g. "1 2") is a format error, never silently
+    // joined into "12".
+    bool trailing_ws = false;
 
     auto flush_cell = [&]() -> int64_t {
         if (blen == 0) return ERR_FORMAT;  // empty cell
@@ -107,6 +112,7 @@ int64_t rscm_csv_read(const char* path, double* out, int64_t capacity) {
         if (written >= capacity) return ERR_OVERFLOW;
         out[written++] = v;
         blen = 0;
+        trailing_ws = false;
         return 0;
     };
 
@@ -116,8 +122,12 @@ int64_t rscm_csv_read(const char* path, double* out, int64_t capacity) {
                 int64_t rc = flush_cell();
                 if (rc != 0) { std::fclose(f); return rc; }
             }
+            trailing_ws = false;
             any_in_line = (c == ',');
-        } else if (c != '\r' && c != ' ') {
+        } else if (c == ' ' || c == '\t') {
+            if (blen > 0) trailing_ws = true;  // only an error if content follows
+        } else if (c != '\r') {
+            if (trailing_ws) { std::fclose(f); return ERR_FORMAT; }  // interior space
             if (blen + 1 >= sizeof(buf)) { std::fclose(f); return ERR_FORMAT; }
             buf[blen++] = static_cast<char>(c);
             any_in_line = true;

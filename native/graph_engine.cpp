@@ -43,6 +43,17 @@ struct Adjacency {
     std::vector<int32_t> targets;  // edge targets grouped by source, insertion order
 };
 
+// Edge indices come from an FFI boundary; an out-of-range index must be a
+// reportable error (-2 from the entry points), never UB in build_adjacency.
+bool edges_valid(int32_t n_nodes, int32_t n_edges,
+                 const int32_t* src, const int32_t* dst) {
+    for (int32_t e = 0; e < n_edges; ++e) {
+        if (src[e] < 0 || src[e] >= n_nodes) return false;
+        if (dst[e] < 0 || dst[e] >= n_nodes) return false;
+    }
+    return true;
+}
+
 Adjacency build_adjacency(int32_t n_nodes, int32_t n_edges,
                           const int32_t* src, const int32_t* dst) {
     Adjacency adj;
@@ -66,6 +77,7 @@ int32_t rscm_bfs_order(int32_t n_nodes, int32_t n_edges,
                        const int32_t* src, const int32_t* dst,
                        int32_t start, int32_t* order) {
     if (n_nodes <= 0 || start < 0 || start >= n_nodes) return 0;
+    if (!edges_valid(n_nodes, n_edges, src, dst)) return -2;
     Adjacency adj = build_adjacency(n_nodes, n_edges, src, dst);
     std::vector<uint8_t> discovered(static_cast<size_t>(n_nodes), 0);
     std::vector<int32_t> queue;
@@ -95,6 +107,7 @@ int32_t rscm_topo_order(int32_t n_nodes, int32_t n_edges,
                         const int32_t* src, const int32_t* dst,
                         int32_t* order) {
     if (n_nodes <= 0) return 0;
+    if (!edges_valid(n_nodes, n_edges, src, dst)) return -2;
     std::vector<int32_t> indegree(static_cast<size_t>(n_nodes), 0);
     for (int32_t e = 0; e < n_edges; ++e)
         if (src[e] != dst[e]) indegree[dst[e]]++;
@@ -129,6 +142,7 @@ int32_t rscm_topo_order(int32_t n_nodes, int32_t n_edges,
 int32_t rscm_find_cycle(int32_t n_nodes, int32_t n_edges,
                         const int32_t* src, const int32_t* dst) {
     if (n_nodes <= 0) return -1;
+    if (!edges_valid(n_nodes, n_edges, src, dst)) return -2;
     Adjacency adj = build_adjacency(n_nodes, n_edges, src, dst);
     enum : uint8_t { WHITE = 0, GRAY = 1, BLACK = 2 };
     std::vector<uint8_t> color(static_cast<size_t>(n_nodes), WHITE);

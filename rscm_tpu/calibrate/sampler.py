@@ -244,11 +244,6 @@ class EnsembleSampler:
     ) -> Chain:
         """Sample; ``engine`` in {None (auto), "device", "host"}."""
         n_walkers = n_walkers or self.default_n_walkers
-        if n_walkers < 2:
-            raise ValueError("Must have at least 2 walkers")
-        if n_walkers % 2 != 0:
-            raise ValueError("Number of walkers must be even")
-
         rng = np.random.default_rng(seed)
         positions = init.initialize(n_walkers, self.params, rng)
         state = SamplerState(positions, self.params.param_names())
@@ -328,6 +323,16 @@ class EnsembleSampler:
         checkpoint_every: Optional[int] = None,
         checkpoint_path: Optional[str] = None,
     ) -> Chain:
+        # Validate here so every entry point — run, run_with_checkpoint and
+        # resume_from_checkpoint — rejects walker counts the half-split
+        # engines cannot handle (an odd count would silently freeze the last
+        # walker in the device engine's fixed-size half slices).
+        n_walkers = state.positions.shape[0]
+        if n_walkers < 2:
+            raise ValueError("Must have at least 2 walkers")
+        if n_walkers % 2 != 0:
+            raise ValueError("Number of walkers must be even")
+
         device_log_prob = self._build_device_log_prob() if engine != "host" else None
         if engine == "device" and device_log_prob is None:
             raise ValueError(

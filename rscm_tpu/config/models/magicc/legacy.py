@@ -1,17 +1,22 @@
 """Bidirectional mapping between MAGICC .CFG format and nested configs.
 
-Behavioral mirror of ``python/rscm/config/models/magicc/legacy.py:15-109``
-with one deliberate extension: parameters the reference registry tracks as
-NOT_IMPLEMENTED but this engine implements (the GHG forcing method and
-rapid adjustments) are SUPPORTED here and map through — see
-ARCHITECTURE.md "Known deviations".  The mapping table derives from
-``MAGICC_PARAMETERS`` dot-paths; nested get/set walks plain dicts so the
-output feeds ``build_model``'s TOML-shaped configs directly.
+Covers the reference's ``rscm.config.models.magicc.legacy`` surface
+(`python/rscm/config/models/magicc/legacy.py`) with one deliberate
+extension: parameters the reference registry tracks as NOT_IMPLEMENTED but
+this engine implements (the GHG forcing method and rapid adjustments) are
+SUPPORTED here and map through — see ARCHITECTURE.md "Known deviations".
+
+Design: the flat .CFG namespace is case-insensitive and keyed by Fortran
+parameter names; the nested side is dot-path addressed into plain dicts so
+the result feeds ``build_model``'s TOML-shaped configs directly. Import
+triage (supported / known-but-unsupported / unknown) is table-driven off
+``MAGICC_PARAMETERS`` statuses.
 """
 
 from __future__ import annotations
 
 import logging
+from functools import reduce
 from typing import Any, Dict
 
 from .parameters import MAGICC_PARAMETERS, ParameterStatus
@@ -26,22 +31,34 @@ LEGACY_MAPPING: Dict[str, str] = {
     if p.status == ParameterStatus.SUPPORTED and p.rscm_path
 }
 
-
-def _set_nested(obj: dict, path: str, value: Any):
-    keys = path.split(".")
-    d = obj
-    for key in keys[:-1]:
-        d = d.setdefault(key, {})
-    d[keys[-1]] = value
+_MISSING = object()
 
 
-def _get_nested(obj: dict, path: str, default: Any = None) -> Any:
-    d = obj
-    for key in path.split("."):
-        if not isinstance(d, dict) or key not in d:
-            return default
-        d = d[key]
-    return d
+def _walk(tree: Any, path: str) -> Any:
+    """Dot-path lookup into nested dicts; _MISSING when any hop fails."""
+    def hop(node, key):
+        if isinstance(node, dict) and key in node:
+            return node[key]
+        return _MISSING
+
+    return reduce(hop, path.split("."), tree)
+
+
+def _plant(tree: dict, path: str, value: Any) -> None:
+    """Dot-path insert into nested dicts, growing branches as needed."""
+    *branch, leaf = path.split(".")
+    node = reduce(lambda d, k: d.setdefault(k, {}), branch, tree)
+    node[leaf] = value
+
+
+def _triage_unsupported(key: str) -> None:
+    """Log a known-but-unmapped legacy key per its registry status."""
+    status = MAGICC_PARAMETERS[key.lower()].status
+    if status == ParameterStatus.NOT_IMPLEMENTED:
+        logger.info(f"Parameter '{key}' not implemented, ignoring")
+    elif status == ParameterStatus.DEPRECATED:
+        logger.warning(f"Parameter '{key}' is deprecated, ignoring")
+    # NOT_NEEDED and any future passive statuses stay silent
 
 
 def from_legacy_dict(legacy: Dict[str, Any]) -> Dict[str, Any]:
@@ -52,15 +69,11 @@ def from_legacy_dict(legacy: Dict[str, Any]) -> Dict[str, Any]:
     """
     config: Dict[str, Any] = {}
     for key, value in legacy.items():
-        key_lower = key.lower()
-        if key_lower in LEGACY_MAPPING:
-            _set_nested(config, LEGACY_MAPPING[key_lower], value)
-        elif key_lower in MAGICC_PARAMETERS:
-            param = MAGICC_PARAMETERS[key_lower]
-            if param.status == ParameterStatus.NOT_IMPLEMENTED:
-                logger.info(f"Parameter '{key}' not implemented, ignoring")
-            elif param.status == ParameterStatus.DEPRECATED:
-                logger.warning(f"Parameter '{key}' is deprecated, ignoring")
+        path = LEGACY_MAPPING.get(key.lower())
+        if path is not None:
+            _plant(config, path, value)
+        elif key.lower() in MAGICC_PARAMETERS:
+            _triage_unsupported(key)
         else:
             logger.warning(f"Unknown legacy parameter '{key}', ignoring")
     return config
@@ -68,9 +81,7 @@ def from_legacy_dict(legacy: Dict[str, Any]) -> Dict[str, Any]:
 
 def to_legacy_dict(config: Dict[str, Any]) -> Dict[str, Any]:
     """Nested config dict -> flat MAGICC .CFG dict (supported keys only)."""
-    legacy: Dict[str, Any] = {}
-    for legacy_key, rscm_path in LEGACY_MAPPING.items():
-        value = _get_nested(config, rscm_path)
-        if value is not None:
-            legacy[legacy_key] = value
-    return legacy
+    found = (
+        (key, _walk(config, path)) for key, path in LEGACY_MAPPING.items()
+    )
+    return {key: value for key, value in found if value not in (_MISSING, None)}

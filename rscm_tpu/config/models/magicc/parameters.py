@@ -194,21 +194,50 @@ MAGICC_PARAMETERS: Dict[str, ParameterInfo] = {
 }
 
 
+def _registry_by_status() -> Dict[ParameterStatus, list]:
+    groups: Dict[ParameterStatus, list] = {s: [] for s in ParameterStatus}
+    for info in MAGICC_PARAMETERS.values():
+        groups[info.status].append(info)
+    return groups
+
+
 def get_coverage_stats() -> dict:
-    stats = {status.name: 0 for status in ParameterStatus}
+    """Per-status counts of the registry, plus ``total``."""
+    groups = _registry_by_status()
+    stats = {status.name: len(members) for status, members in groups.items()}
     stats["total"] = len(MAGICC_PARAMETERS)
-    for param in MAGICC_PARAMETERS.values():
-        stats[param.status.name] += 1
     return stats
+
+
+def _supported_table(params) -> list:
+    rows = ["| Parameter | Config Path | Unit |", "|-----------|-------------|------|"]
+    rows += [
+        f"| `{p.name}` | `{p.rscm_path}` | {p.unit or '-'} |"
+        for p in sorted(params, key=lambda p: p.name)
+    ]
+    return rows
+
+
+def _categorised_bullets(params) -> list:
+    """Non-supported parameters listed as bullets under category headings."""
+    categories: Dict[str, list] = {}
+    for p in params:
+        categories.setdefault(p.category or "other", []).append(p)
+    rows: list = []
+    for category in sorted(categories):
+        rows += [f"### {category}", ""]
+        for p in sorted(categories[category], key=lambda p: p.name):
+            note = f" — {p.description}" if p.description else ""
+            rows.append(f"- `{p.name}`{note}")
+        rows.append("")
+    return rows
 
 
 def get_coverage_report() -> str:
     """Markdown report of MAGICC parameter support by status."""
-    by_status = {status: [] for status in ParameterStatus}
-    for param in MAGICC_PARAMETERS.values():
-        by_status[param.status].append(param)
+    groups = _registry_by_status()
 
-    lines = [
+    summary = [
         "# MAGICC Parameter Support Report",
         "",
         "Support status of MAGICC .CFG parameters in rscm_tpu.",
@@ -217,31 +246,21 @@ def get_coverage_report() -> str:
         "",
         "| Status | Count |",
         "|--------|-------|",
+        *(f"| {s.name} | {len(groups[s])} |" for s in ParameterStatus),
+        f"| **Total** | **{len(MAGICC_PARAMETERS)}** |",
+        "",
     ]
-    for status in ParameterStatus:
-        lines.append(f"| {status.name} | {len(by_status[status])} |")
-    lines.append(f"| **Total** | **{len(MAGICC_PARAMETERS)}** |")
-    lines.append("")
 
+    sections: list = []
     for status in ParameterStatus:
-        params = by_status[status]
-        if not params:
+        members = groups[status]
+        if not members:
             continue
-        lines += [f"## {status.name} ({len(params)} parameters)", ""]
-        if status == ParameterStatus.SUPPORTED:
-            lines += ["| Parameter | Config Path | Unit |", "|-----------|-------------|------|"]
-            for p in sorted(params, key=lambda x: x.name):
-                lines.append(f"| `{p.name}` | `{p.rscm_path}` | {p.unit or '-'} |")
-        else:
-            by_category = {}
-            for p in params:
-                by_category.setdefault(p.category or "other", []).append(p)
-            for category in sorted(by_category):
-                lines.append(f"### {category}")
-                lines.append("")
-                for p in sorted(by_category[category], key=lambda x: x.name):
-                    desc = f" — {p.description}" if p.description else ""
-                    lines.append(f"- `{p.name}`{desc}")
-                lines.append("")
-        lines.append("")
-    return "\n".join(lines)
+        body = (
+            _supported_table(members)
+            if status == ParameterStatus.SUPPORTED
+            else _categorised_bullets(members)
+        )
+        sections += [f"## {status.name} ({len(members)} parameters)", "", *body, ""]
+
+    return "\n".join(summary + sections)

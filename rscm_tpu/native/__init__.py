@@ -81,29 +81,51 @@ class GraphEngine:
         lib.rscm_find_cycle.restype = i32
 
     @staticmethod
-    def _edge_arrays(edges: Sequence[Tuple[int, int]]):
+    def _edge_arrays(n_nodes: int, edges: Sequence[Tuple[int, int]]):
+        # The C functions index src/dst unchecked, so an out-of-range edge
+        # must surface here as a Python exception, not heap corruption.
+        # Graphs are tiny (tens of nodes); the check is free.
+        for a, b in edges:
+            if not (0 <= a < n_nodes and 0 <= b < n_nodes):
+                raise ValueError(
+                    f"edge ({a}, {b}) out of range for graph with "
+                    f"{n_nodes} nodes"
+                )
         n = len(edges)
         Arr = ctypes.c_int32 * max(n, 1)
         src = Arr(*(e[0] for e in edges)) if n else Arr()
         dst = Arr(*(e[1] for e in edges)) if n else Arr()
         return n, src, dst
 
+    @staticmethod
+    def _check_count(count: int) -> int:
+        if count < 0:  # -2: native-side edge bounds check tripped
+            raise ValueError(f"native graph engine rejected edges (code {count})")
+        return count
+
     def bfs_order(self, n_nodes: int, edges: Sequence[Tuple[int, int]], start: int) -> List[int]:
-        n_edges, src, dst = self._edge_arrays(edges)
+        n_edges, src, dst = self._edge_arrays(n_nodes, edges)
         out = (ctypes.c_int32 * max(n_nodes, 1))()
-        count = self._lib.rscm_bfs_order(n_nodes, n_edges, src, dst, start, out)
+        count = self._check_count(
+            self._lib.rscm_bfs_order(n_nodes, n_edges, src, dst, start, out)
+        )
         return list(out[:count])
 
     def topo_order(self, n_nodes: int, edges: Sequence[Tuple[int, int]]) -> List[int]:
-        n_edges, src, dst = self._edge_arrays(edges)
+        n_edges, src, dst = self._edge_arrays(n_nodes, edges)
         out = (ctypes.c_int32 * max(n_nodes, 1))()
-        count = self._lib.rscm_topo_order(n_nodes, n_edges, src, dst, out)
+        count = self._check_count(
+            self._lib.rscm_topo_order(n_nodes, n_edges, src, dst, out)
+        )
         return list(out[:count])
 
     def find_cycle(self, n_nodes: int, edges: Sequence[Tuple[int, int]]) -> int:
         """Index of a node on a cycle, or -1 if acyclic."""
-        n_edges, src, dst = self._edge_arrays(edges)
-        return int(self._lib.rscm_find_cycle(n_nodes, n_edges, src, dst))
+        n_edges, src, dst = self._edge_arrays(n_nodes, edges)
+        result = int(self._lib.rscm_find_cycle(n_nodes, n_edges, src, dst))
+        if result < -1:
+            raise ValueError(f"native graph engine rejected edges (code {result})")
+        return result
 
 
 def load_graph_engine() -> Optional[GraphEngine]:

@@ -22,6 +22,7 @@ from rscm_tpu.calibrate import (
     ParameterSet,
     PointEstimator,
     RandomSearch,
+    SamplerState,
     Target,
     Uniform,
     VariableOutput,
@@ -283,6 +284,52 @@ class TestEnsembleSampler:
             seed=12,
         )  # n_iterations is the TOTAL target (reference semantics)
         assert len(chain2) == 15  # resumed chain includes prior samples
+
+    def test_odd_walkers_rejected_on_every_entry_point(
+        self, compiled_runner, tmp_path
+    ):
+        """The half-split engines can't handle odd walker counts; run,
+        run_with_checkpoint AND resume_from_checkpoint must all reject them
+        (an odd count would silently freeze the last walker on the device
+        engine's fixed-size half slices)."""
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        target = _make_target()
+        sampler = EnsembleSampler(
+            params, compiled_runner, GaussianLikelihood(), target
+        )
+        with pytest.raises(ValueError, match="even"):
+            sampler.run(
+                n_iterations=2, init=WalkerInit.from_prior(), thin=1,
+                n_walkers=5, seed=1,
+            )
+        path = str(tmp_path / "ckpt_odd")
+        with pytest.raises(ValueError, match="even"):
+            sampler.run_with_checkpoint(
+                n_iterations=2, init=WalkerInit.from_prior(), thin=1,
+                checkpoint_every=1, checkpoint_path=path, n_walkers=7, seed=1,
+            )
+        # a checkpoint doctored to an odd walker count must be rejected too
+        good = str(tmp_path / "ckpt_good")
+        sampler.run_with_checkpoint(
+            n_iterations=2, init=WalkerInit.from_prior(), thin=1,
+            checkpoint_every=1, checkpoint_path=good, n_walkers=4, seed=2,
+        )
+        state = SamplerState.load_checkpoint(good + ".state")
+        state.positions = state.positions[:3]
+        state.log_probs = state.log_probs[:3]
+        state.n_accepted = state.n_accepted[:3]
+        state.n_proposed = state.n_proposed[:3]
+        state.save_checkpoint(good + ".state")
+        with pytest.raises(ValueError, match="even"):
+            sampler.resume_from_checkpoint(
+                n_iterations=4, thin=1, checkpoint_every=1,
+                checkpoint_path=good, seed=3,
+            )
+        with pytest.raises(ValueError, match="at least 2"):
+            sampler.run(
+                n_iterations=2, init=WalkerInit.from_prior(), thin=1,
+                n_walkers=1, seed=1,
+            )
 
     def test_progress_callback(self, compiled_runner):
         params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))

@@ -106,6 +106,19 @@ def test_cycle_detection_tolerates_self_loops():
     _python_graph(2, edges).check_acyclic()  # must not raise
 
 
+@pytest.mark.parametrize("bad", [(0, 5), (5, 0), (-1, 0), (0, -1)])
+def test_out_of_range_edges_raise_instead_of_corrupting(bad):
+    """Edge indices outside [0, n_nodes) must be a Python exception — the
+    C functions index src/dst directly, so unchecked input would be UB."""
+    edges = [(0, 1), bad]
+    with pytest.raises(ValueError, match="out of range"):
+        engine.bfs_order(2, edges, 0)
+    with pytest.raises(ValueError, match="out of range"):
+        engine.topo_order(2, edges)
+    with pytest.raises(ValueError, match="out of range"):
+        engine.find_cycle(2, edges)
+
+
 def test_model_build_uses_native_and_matches_python(monkeypatch):
     """End-to-end: a coupled model's execution order is identical with the
     engine on and off (RSCM_TPU_NATIVE=0 path)."""

@@ -54,6 +54,8 @@ class TestNumericCsv:
             "time,A\n1,2\n3\n",          # ragged
             "time,A\n1,\n",               # empty cell
             "time,A\n1,abc\n",            # non-numeric
+            "time,A\n1,1 2\n",            # interior space must not join to 12
+            "time,A\n1 0,2\n",            # interior space in first cell
         ],
     )
     def test_malformed_rejected_by_both_parsers(self, tmp_path, text):
@@ -62,6 +64,15 @@ class TestNumericCsv:
             read_numeric_csv(path)
         with pytest.raises(ValueError, match="malformed numeric CSV"):
             csv_mod._read_python(path)
+
+    def test_surrounding_whitespace_accepted_by_both_parsers(self, tmp_path):
+        # float(cell) strips leading/trailing whitespace; native must match.
+        path = _write(tmp_path, "time,A\n 1 , 2.5\n3,\t4 \n")
+        h_native, v_native = read_numeric_csv(path)
+        h_py, v_py = csv_mod._read_python(path)
+        assert h_native == h_py
+        np.testing.assert_array_equal(v_native, v_py)
+        np.testing.assert_array_equal(v_native, [[1.0, 2.5], [3.0, 4.0]])
 
 
 class TestScenarioCsv:
