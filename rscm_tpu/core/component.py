@@ -116,12 +116,20 @@ def _parse_grid(grid) -> GridType:
 
 @dataclass(frozen=True)
 class Input:
-    """Declare an input variable (class attribute descriptor)."""
+    """Declare an input variable (class attribute descriptor).
+
+    ``lookback`` is the deepest step offset before N this component reads
+    of the variable (``previous()`` → 1, ``at_offset(-k)`` → k,
+    ``last_n(n)`` → n-1).  The streaming scan program sizes the variable's
+    carried window from the max lookback over all readers, so a component
+    that reads deeper than it declares would silently get clamped values.
+    """
 
     name: str
     unit: str = ""
     grid: str = "Scalar"
     description: str = ""
+    lookback: int = 1
 
     def to_requirement(self) -> RequirementDefinition:
         return RequirementDefinition(self.name, self.unit, RequirementType.Input, _parse_grid(self.grid))
@@ -142,12 +150,16 @@ class Output:
 
 @dataclass(frozen=True)
 class State:
-    """Declare a state variable (read previous value, write new value)."""
+    """Declare a state variable (read previous value, write new value).
+
+    ``lookback`` — see :class:`Input`.
+    """
 
     name: str
     unit: str = ""
     grid: str = "Scalar"
     description: str = ""
+    lookback: int = 1
 
     def to_requirement(self) -> RequirementDefinition:
         return RequirementDefinition(self.name, self.unit, RequirementType.State, _parse_grid(self.grid))
@@ -455,6 +467,21 @@ class Component(metaclass=ComponentMeta):
     @property
     def component_name(self) -> str:
         return type(self).__name__
+
+    def input_lookback(self, var_name: str) -> int:
+        """Deepest step offset before N this component reads of ``var_name``.
+
+        The default comes from the Input/State declarations' ``lookback``
+        (at least 1, covering ``previous()``).  Components whose history
+        depth depends on a static parameter override this — the streaming
+        scan program (:mod:`rscm_tpu.core.model.program`) sizes each
+        variable's carried window from the max over all readers.
+        """
+        lookback = 1
+        for decl in (*self._component_inputs.values(), *self._component_states.values()):
+            if decl.name == var_name:
+                lookback = max(lookback, getattr(decl, "lookback", 1))
+        return lookback
 
     # -- parameters (TPU-native: traced pytree) -----------------------------
 

@@ -17,6 +17,16 @@ Design notes
   O(step state), not O(history).  Window reads (``at_start``/``previous``/
   ``last_n``/``interpolate``) are dynamic slices of the same arrays, which
   keeps the *entire* reference window semantics available under tracing.
+- **Streaming mode** (:meth:`ModelProgram.run_window_fn`) replaces the
+  full-trajectory carry with a per-variable rolling window sized from the
+  deepest lookback any reader declares (``Component.input_lookback``), and
+  emits only the *requested* output trajectories as ``lax.scan`` ys.  Carry
+  memory becomes O(n_vars · lookback) instead of O(n_vars · n_steps), which
+  is what lets a 100k-member full-MAGICC ensemble fit one chip's HBM.
+  Window reads use a *static* buffer index, so reads/writes compile to
+  static slices (cheaper than the full mode's dynamic ones); values are
+  bit-identical to the full mode because the same rows flow through the
+  same arithmetic.
 - **Exogenous** data and the time axis are traced operands closed over by
   the scan body (read-only; no carry cost).
 - **Parameters** enter as a pytree argument, so one compiled program serves
@@ -201,6 +211,203 @@ class ModelProgram:
             step_with_params, (endo, internals), xs, unroll=self.scan_unroll
         )
         return endo, internals
+
+    # -- streaming (windowed-carry) mode --------------------------------------
+
+    @functools.cached_property
+    def lookbacks(self) -> Dict[str, int]:
+        """Deepest lookback any component reads per endogenous variable."""
+        lb = {name: 1 for name in self.endo_names}
+        for node in self.exec_nodes:
+            component = self.model.graph.nodes[node]
+            read_specs, _ = self.model._plan[node]
+            get_lb = getattr(component, "input_lookback", None)
+            for spec in read_specs:
+                if spec.var_name in lb:
+                    depth = int(get_lb(spec.var_name)) if get_lb is not None else 1
+                    lb[spec.var_name] = max(lb[spec.var_name], depth)
+        return lb
+
+    def _make_window_step_fn(self, exo, out_vars):
+        """Streaming step: rolling per-variable buffers, ys emission.
+
+        Carry endo buffers are ``(L_v + 2, n_regions)``: rows map to absolute
+        step indices ``idx - L_v .. idx + 1`` (clamped at the start of the
+        run), so every window op resolves at a *static* buffer index.
+        """
+        import jax.numpy as jnp
+
+        model = self.model
+        plan = model._plan
+        endo_set = set(self.endo_names)
+        lookbacks = self.lookbacks
+        l_max = max(lookbacks.values(), default=1)
+        n = self.n_steps
+        time_np = np.asarray(self.time_values, dtype=np.float64)
+        # step widths for linear time extrapolation of the clamped pre-history
+        dt0 = float(time_np[1] - time_np[0]) if n > 1 else 1.0
+
+        def global_time_window(idx):
+            # times aligned with a width-(l_max+2) buffer ending at idx+1;
+            # rows before the axis start get linearly extrapolated times so
+            # interpolation over clamped pre-history stays well-defined
+            offs = jnp.arange(-l_max, 2)
+            abs_idx = idx + offs
+            clipped = jnp.clip(abs_idx, 0, n - 1)
+            t = jnp.asarray(self.time_values)[clipped]
+            return t + jnp.where(abs_idx < 0, abs_idx, 0).astype(t.dtype) * dt0
+
+        def step_fn(carry, xs):
+            endo, internals = carry
+            idx = xs["idx"]
+            t_current = xs["t"]
+            t_next = xs["t_next"]
+            ctx = SolveContext(t_current, t_next, idx, spans=self.spans)
+            time_win = global_time_window(idx)
+
+            for node in self.exec_nodes:
+                component = model.graph.nodes[node]
+                read_specs, write_specs = plan[node]
+
+                builders = {}
+                for spec in read_specs:
+                    item = model.collection.get_item(spec.var_name)
+                    if spec.var_name in endo_set:
+                        lb = lookbacks[spec.var_name]
+
+                        def make(spec=spec, lb=lb, item=item):
+                            return make_window(
+                                spec.window_grid,
+                                endo[spec.var_name],
+                                lb,  # static: buffer row of step N
+                                t_current,
+                                factor=spec.factor,
+                                source=spec.source,
+                                strategy=item.data.interpolation_strategy,
+                                time_values=time_win[l_max - lb:],
+                                grid=model._grid_obj(spec.window_grid),
+                                aggregation=spec.aggregation,
+                            )
+
+                    else:
+
+                        def make(spec=spec, item=item):
+                            return make_window(
+                                spec.window_grid,
+                                exo[spec.var_name],
+                                idx,
+                                t_current,
+                                factor=spec.factor,
+                                source=spec.source,
+                                strategy=item.data.interpolation_strategy,
+                                time_values=self.time_values,
+                                grid=model._grid_obj(spec.window_grid),
+                                aggregation=spec.aggregation,
+                            )
+
+                    builders[spec.var_name] = make
+                input_state = InputState(builders, t_current)
+
+                params = xs["params"][str(node)] if str(node) in xs["params"] else {}
+                traced_component = component.with_params(params) if params else component
+
+                inputs = prepare_inputs(traced_component, input_state)
+                outputs, new_internal = traced_component.solve_ctx(
+                    ctx, inputs, internals.get(str(node))
+                )
+                internals = {**internals, str(node): new_internal}
+
+                if hasattr(outputs, "to_dict"):
+                    outputs = outputs.to_dict()
+                for key, value in outputs.items():
+                    sv = StateValue.wrap(value)
+                    spec = write_specs.get(key)
+                    row = jnp.asarray(sv.as_array(), dtype=self.dtype)
+                    if spec is not None and spec.matrix is not None:
+                        row = row @ jnp.asarray(spec.matrix, dtype=self.dtype)
+                    if key not in endo_set:
+                        continue
+                    endo = {**endo, key: endo[key].at[lookbacks[key] + 1].set(row)}
+
+            ys = {name: endo[name][lookbacks[name] + 1] for name in out_vars}
+            # roll every buffer one step forward; the fresh N+1 slot is NaN
+            # (unwritten), matching the full mode's NaN-filled storage
+            rolled = {}
+            for name, buf in endo.items():
+                nan_row = jnp.full((1, buf.shape[1]), np.nan, dtype=buf.dtype)
+                rolled[name] = jnp.concatenate([buf[1:], nan_row], axis=0)
+            return (rolled, internals), ys
+
+        return step_fn
+
+    def run_window_fn(self, endo_bufs, exo, params, internals, out_vars,
+                      start_idx: int = 0):
+        """Pure streaming run: returns ``({name: full trajectory}, carry)``.
+
+        ``endo_bufs`` come from :meth:`gather_endo_window`; ``out_vars`` is a
+        static sequence of endogenous names to emit.  Rows up to
+        ``start_idx`` are constants from the host collection (the initial /
+        already-computed values), identical to the full mode's output.
+        """
+        import jax.lax as lax
+        import jax.numpy as jnp
+
+        out_vars = tuple(out_vars)
+        unknown = [v for v in out_vars if v not in set(self.endo_names)]
+        if unknown:
+            raise KeyError(
+                f"run_window_fn: not endogenous variables: {unknown}; "
+                f"endogenous: {sorted(self.endo_names)}"
+            )
+        n_run = self.n_steps - 1 - start_idx
+        if n_run <= 0:
+            host = self.gather_endo()
+            return {name: jnp.asarray(host[name]) for name in out_vars}, (
+                endo_bufs, internals,
+            )
+
+        idxs = np.arange(start_idx, self.n_steps - 1, dtype=np.int32)
+        xs = {
+            "idx": jnp.asarray(idxs),
+            "t": jnp.asarray(self.time_bounds[idxs], dtype=self.dtype),
+            "t_next": jnp.asarray(self.time_bounds[idxs + 1], dtype=self.dtype),
+        }
+
+        step_fn = self._make_window_step_fn(exo, out_vars)
+
+        def step_with_params(carry, x):
+            return step_fn(carry, {**x, "params": params})
+
+        (endo_bufs, internals), ys = lax.scan(
+            step_with_params, (endo_bufs, internals), xs, unroll=self.scan_unroll
+        )
+
+        trajs = {}
+        for name in out_vars:
+            prefix = np.asarray(
+                self.model.collection.get_data(name)._values[: start_idx + 1],
+                dtype=self.dtype,
+            )
+            trajs[name] = jnp.concatenate([jnp.asarray(prefix), ys[name]], axis=0)
+        return trajs, (endo_bufs, internals)
+
+    def gather_endo_window(self, start_idx: int = 0) -> Dict[str, np.ndarray]:
+        """Initial rolling buffers for the streaming mode.
+
+        Buffer rows hold the collection values at absolute indices
+        ``start_idx - L .. start_idx + 1``, clamped at 0 — the same values a
+        traced full-array window's clamped reads would return.
+        """
+        bufs = {}
+        for name in self.endo_names:
+            vals = np.asarray(
+                self.model.collection.get_data(name)._values, dtype=self.dtype
+            )
+            lb = self.lookbacks[name]
+            rows = [vals[max(0, start_idx - lb + k)] for k in range(lb + 1)]
+            rows.append(vals[start_idx + 1])
+            bufs[name] = np.stack(rows)
+        return bufs
 
     # -- host data marshalling ----------------------------------------------
 

@@ -34,6 +34,12 @@ class N2OChemistry(Component):
     strat_delay = Parameter(default=1, static=True)
     ppb_to_tg = Parameter(default=4.79, unit="Tg/ppb")
 
+    def input_lookback(self, var_name: str) -> int:
+        # the lagged-burden sink reads at_offset(-(strat_delay + 1))
+        if var_name == "Atmospheric Concentration|N2O":
+            return max(int(self.strat_delay), 1) + 1
+        return super().input_lookback(var_name)
+
     def calculate_effective_lifetime(self, burden_mid, burden_reference):
         ratio = xm.maximum(burden_mid / burden_reference, 1.0)
         return self.tau_n2o * ratio**self.lifetime_feedback

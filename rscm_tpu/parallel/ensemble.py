@@ -123,13 +123,24 @@ class EnsembleRunner:
 
     # -- execution -----------------------------------------------------------
 
-    def _build_fn(self, batch_exo: bool, start_idx: int):
+    def _build_fn(self, batch_exo: bool, start_idx: int, stream_out=None):
         import jax
 
         p = self.program
 
-        def single(endo, exo, params, internals):
-            return p.run_fn(endo, exo, params, internals, start_idx=start_idx)
+        if stream_out is not None:
+
+            def single(endo, exo, params, internals):
+                trajs, _carry = p.run_window_fn(
+                    endo, exo, params, internals, stream_out, start_idx=start_idx
+                )
+                return trajs
+
+        else:
+
+            def single(endo, exo, params, internals):
+                endo_out, _ = p.run_fn(endo, exo, params, internals, start_idx=start_idx)
+                return endo_out
 
         in_axes = (None, 0 if batch_exo else None, 0, None)
         return jax.vmap(single, in_axes=in_axes)
@@ -141,6 +152,7 @@ class EnsembleRunner:
         mesh=None,
         out_vars: Optional[list] = None,
         start_idx: int = 0,
+        stream: Optional[bool] = None,
     ):
         """Run the ensemble; returns ``{var_name: (B, n_steps, n_regions)}``.
 
@@ -148,12 +160,23 @@ class EnsembleRunner:
         ``{name: (B, n_steps, g)}`` (e.g. one SSP scenario per member);
         unbatched exogenous data broadcasts from the model.  ``out_vars``
         restricts which trajectories are pulled back to the host.
+
+        ``stream`` selects the memory-scalable windowed-carry program
+        (carry O(lookback) per variable, only ``out_vars`` trajectories
+        materialised — required for big-model x big-ensemble runs).  The
+        default streams whenever ``out_vars`` is given; values are
+        identical between the modes.
         """
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         p = self.program
-        endo = p.gather_endo()
+        if stream is None:
+            stream = out_vars is not None
+        stream_out = None
+        if stream:
+            stream_out = tuple(out_vars) if out_vars is not None else tuple(p.endo_names)
+        endo = p.gather_endo_window(start_idx) if stream else p.gather_endo()
         internals = p.gather_internals()
         base_exo = p.gather_exo()
         batch_exo = exo is not None
@@ -170,9 +193,9 @@ class EnsembleRunner:
         else:
             exo_arg = base_exo
 
-        key = (batch_exo, start_idx, mesh is not None and mesh.axis_names)
+        key = (batch_exo, start_idx, mesh is not None and mesh.axis_names, stream_out)
         if key not in self._jitted:
-            fn = self._build_fn(batch_exo, start_idx)
+            fn = self._build_fn(batch_exo, start_idx, stream_out=stream_out)
             if mesh is not None:
                 axis = mesh.axis_names[0]
                 batch_sharding = NamedSharding(mesh, P(axis))
@@ -195,7 +218,7 @@ class EnsembleRunner:
             else:
                 self._jitted[key] = jax.jit(fn)
 
-        endo_out, _internals_out = self._jitted[key](endo, exo_arg, params, internals)
+        endo_out = self._jitted[key](endo, exo_arg, params, internals)
         if out_vars is not None:
             endo_out = {k: v for k, v in endo_out.items() if k in out_vars}
         return endo_out
