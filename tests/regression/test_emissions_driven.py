@@ -217,10 +217,27 @@ def test_emissions_driven_pathway_runs(emissions_setup):
     assert co2[-1] > co2[1] + 50.0
     assert sst[-1] > 0.5
 
-    # order-of-magnitude agreement with the MAGICC7 pathway (the accurate
-    # comparison is xfail upstream at 5% — documented simplifications)
-    rel_co2 = abs(co2[-1] - expected["co2"][-2]) / expected["co2"][-2]
-    assert rel_co2 < 0.25, f"CO2 end-of-century off by {rel_co2:.1%}"
+    # Accuracy ratchets against the MAGICC7 golden pathway.  The reference's
+    # own full comparison is xfail at 5% (documented simplifications in
+    # CH4/N2O natural-emissions handling — reference issues #108-110); the
+    # recorded per-variable divergence lives in the parity CSV via
+    # test_ghg_forcing.test_03_emissions_driven.  Measured r2: CO2 end 0.9%
+    # / max 2.7%, CH4 max 15.8%, N2O max 6.7% — thresholds hold margin above
+    # the measurement so physics regressions trip them, while meeting the
+    # reference's 5% bar on CO2.
+    rel_co2_end = abs(co2[-1] - expected["co2"][-2]) / expected["co2"][-2]
+    assert rel_co2_end < 0.05, f"CO2 end-of-century off by {rel_co2_end:.1%}"
+
+    rel_co2 = np.abs(co2[1:] - expected["co2"][:-1]) / np.abs(expected["co2"][:-1])
+    assert rel_co2.max() < 0.04, f"CO2 trajectory off by {rel_co2.max():.1%}"
+
+    rel_ch4 = np.abs(ch4[1:] - expected["ch4"][:-1]) / np.abs(expected["ch4"][:-1])
+    assert rel_ch4.max() < 0.20, f"CH4 trajectory off by {rel_ch4.max():.1%}"
+
+    n2o = np.asarray(results.get_timeseries_by_name(
+        "Atmospheric Concentration|N2O").values())
+    rel_n2o = np.abs(n2o[1:] - expected["n2o"][:-1]) / np.abs(expected["n2o"][:-1])
+    assert rel_n2o.max() < 0.10, f"N2O trajectory off by {rel_n2o.max():.1%}"
 
 
 def test_emissions_driven_carbon_conservation(emissions_setup):

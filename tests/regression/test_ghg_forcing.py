@@ -153,10 +153,66 @@ def test_02_ghg_forcing_olbl():
 
 @pytest.mark.xfail(
     reason="Diverges from MAGICC7 due to documented simplifications "
-    "(reference issues #108, #109, #110)"
+    "(reference issues #108, #109, #110); measured divergence is recorded "
+    "in the parity CSV and ratcheted by tests/regression/test_emissions_driven.py"
 )
 def test_03_emissions_driven():
-    pytest.skip("full emissions-driven pathway validated in round 2")
+    """Full emissions -> concentrations -> forcing -> temperature pathway
+    vs the MAGICC7 SSP245 golden run, at the reference's 5% tolerance
+    (mirror of /root/reference/tests/regression/test_ghg_forcing.py:623-726).
+
+    All four variables are recorded into the parity CSV before any
+    assertion fires, so the report always carries the measured divergence
+    even while the test is xfail.
+    """
+    from .test_emissions_driven import _extract_emissions, build_emissions_driven_model
+
+    df, config = load_data("03_emissions_driven")
+    years, expected_co2 = get_variable_values(df, "Atmospheric Concentrations|CO2")
+    _, expected_ch4 = get_variable_values(df, "Atmospheric Concentrations|CH4")
+    _, expected_n2o = get_variable_values(df, "Atmospheric Concentrations|N2O")
+    _, expected_temp = get_variable_values(df, "Surface Temperature")
+
+    emissions = _extract_emissions(df, years)
+    initial_conditions = {
+        "Atmospheric Concentration|CO2": float(expected_co2[0]),
+        "Atmospheric Concentration|CH4": float(expected_ch4[0]),
+        "Atmospheric Concentration|N2O": float(expected_n2o[0]),
+        "Surface Temperature": 0.0,
+        "Ocean Surface pCO2": float(expected_co2[0]),
+        "Cumulative Ocean Uptake": 0.0,
+        "Carbon Pool|Plant": 884.86,
+        "Carbon Pool|Detritus": 92.77,
+        "Carbon Pool|Soil": 1681.53,
+        "Carbon Pool|Humus": 836.0,
+    }
+    model = build_emissions_driven_model(years, emissions, initial_conditions, config)
+    model.run()
+    results = model.timeseries()
+
+    emissions_rtol = 5e-2
+    comparisons = [
+        ("Conc|CO2", "Atmospheric Concentration|CO2", expected_co2),
+        ("Conc|CH4", "Atmospheric Concentration|CH4", expected_ch4),
+        ("Conc|N2O", "Atmospheric Concentration|N2O", expected_n2o),
+        ("Temperature", "Sea Surface Temperature", expected_temp),
+    ]
+    failures = []
+    for label, var_name, expected in comparisons:
+        actual = results.get_timeseries_by_name(var_name).values()[1:]
+        try:
+            assert_allclose_recorded(
+                actual, expected[:-1],
+                rtol=emissions_rtol, atol=DEFAULT_ATOL,
+                suite=SUITE, name="03_emissions", variable=label,
+            )
+        except AssertionError as exc:
+            failures.append(f"{label}: {exc}")
+    if failures:
+        raise AssertionError(
+            "emissions-driven divergence beyond 5% (documented upstream "
+            "simplifications):\n" + "\n\n".join(failures)
+        )
 
 
 @pytest.mark.parametrize("ecs", [1.5, 2.0, 3.0, 4.0, 4.5])
