@@ -7,6 +7,18 @@ this measures the heaviest single component in the framework — monthly
 sub-stepped tridiagonal ocean solve with in-graph LAMCALC — vmapped over
 an ensemble.  Prints one JSON line.
 
+Measured history (TPU v5e, f32, 151-year scenario):
+
+- round 1: 2.4e8 member-years/s at 1k members (dispatch-bound measurement;
+  ``lax.linalg.tridiagonal_solve`` per hemisphere per month, and any run
+  with >= ~10k members faulted the TPU in the batched LU kernel that
+  ``jnp.linalg.inv`` used inside the in-graph LAMCALC loop)
+- round 2: 1.15e9 at 10k members / 1.50e9 at 100k members (6.3x) after
+  (i) merging both hemispheres into one batched Thomas sweep
+  (``thomas_solve_batched``), (ii) replacing the LAMCALC matrix inversion
+  with the closed-form elementwise cofactor expansion
+  (``invert_4x4_traced``), which also removed the >=10k fault.
+
 Usage:  python benchmarks/bench_udeb.py [n_members] [n_years]
 """
 
@@ -64,7 +76,7 @@ def main():
 
     from rscm_tpu.parallel import EnsembleRunner
 
-    n_members = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    n_members = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
     n_years = int(sys.argv[2]) if len(sys.argv) > 2 else 151
 
     model = build_model(n_years)

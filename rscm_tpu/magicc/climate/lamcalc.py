@@ -140,7 +140,7 @@ def lamcalc_traced(params: LamcalcParams, ecs, fallback):
 
         lam_l = lam + fratio * (lam - lamo_i) / params.rlo
         matrix = coupling_matrix(lamo_i, lam_l)
-        inv = jnp.linalg.inv(matrix)
+        inv = invert_4x4(matrix)
 
         temps = q * (inv @ (area * qfrac))
         ocean_mean = (params.fgno * temps[0] + params.fgso * temps[2]) / fgosum

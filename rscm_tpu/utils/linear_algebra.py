@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["thomas_solve", "invert_4x4"]
+__all__ = ["thomas_solve", "thomas_solve_batched", "invert_4x4"]
 
 
 def _is_traced(*xs) -> bool:
@@ -102,13 +102,84 @@ def _thomas_solve_traced(a, b, c, d):
     return jnp.concatenate([x_rest[::-1], jnp.asarray([x_last])])
 
 
+def thomas_solve_batched(a, b, c, d):
+    """Tridiagonal solve along the trailing axis, batched over leading axes.
+
+    Same recursion as :func:`thomas_solve` (sub-diag ``a``, diag ``b``,
+    super-diag ``c``, rhs ``d``; ``a[..., 0]`` and ``c[..., -1]`` ignored),
+    unrolled over the static layer count so every operation is elementwise
+    over the leading batch axes.  This is the traced fast path for the UDEB
+    ocean columns (reference recursion:
+    ``crates/rscm-core/src/utils/linear_algebra.rs:41``): at ~50 layers the
+    sweep compiles to a short chain of fused vector ops that stays fully
+    vectorized over hemispheres x ensemble members, where
+    ``lax.linalg.tridiagonal_solve`` both ran slower and faulted on TPU for
+    batch sizes of ~10k and above.
+    """
+    import jax.numpy as jnp
+
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    c = jnp.asarray(c)
+    d = jnp.asarray(d)
+    m = b.shape[-1]
+
+    c_prime = [c[..., 0] / b[..., 0]]
+    d_prime = [d[..., 0] / b[..., 0]]
+    for i in range(1, m):
+        denom = b[..., i] - a[..., i] * c_prime[i - 1]
+        c_prime.append(c[..., i] / denom)
+        d_prime.append((d[..., i] - a[..., i] * d_prime[i - 1]) / denom)
+
+    x = [None] * m
+    x[m - 1] = d_prime[m - 1]
+    for i in range(m - 2, -1, -1):
+        x[i] = d_prime[i] - c_prime[i] * x[i + 1]
+    return jnp.stack(x, axis=-1)
+
+
+def invert_4x4_traced(m):
+    """Closed-form 4x4 inverse (cofactor/adjugate expansion) on the traced path.
+
+    Purely elementwise in the 16 entries, so it stays fully vectorized under
+    vmap/scan — unlike ``jnp.linalg.inv``, whose batched LU kernel inside a
+    ``fori_loop``-in-``scan`` program faulted on TPU at ensemble sizes of
+    ~10k and above.  The LAMCALC coupling matrices this inverts are small and
+    well-conditioned, where the cofactor expansion is numerically fine.
+    """
+    import jax.numpy as jnp
+
+    m = jnp.asarray(m)
+    a = [[m[..., i, j] for j in range(4)] for i in range(4)]
+
+    def det3(rows, cols):
+        (r0, r1, r2), (c0, c1, c2) = rows, cols
+        return (
+            a[r0][c0] * (a[r1][c1] * a[r2][c2] - a[r1][c2] * a[r2][c1])
+            - a[r0][c1] * (a[r1][c0] * a[r2][c2] - a[r1][c2] * a[r2][c0])
+            + a[r0][c2] * (a[r1][c0] * a[r2][c1] - a[r1][c1] * a[r2][c0])
+        )
+
+    others = [tuple(k for k in range(4) if k != i) for i in range(4)]
+    cof = [
+        [(-1.0) ** (i + j) * det3(others[i], others[j]) for j in range(4)]
+        for i in range(4)
+    ]
+    det = sum(a[0][j] * cof[0][j] for j in range(4))
+    inv_det = 1.0 / det
+    # inverse = adjugate / det = transpose(cofactor matrix) / det
+    rows = [
+        jnp.stack([cof[j][i] * inv_det for j in range(4)], axis=-1) for i in range(4)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
 def invert_4x4(m):
     """Invert a 4x4 matrix; host path mirrors the reference's Gauss-Jordan
-    (returns None when singular), traced path uses jnp.linalg.inv."""
+    (returns None when singular), traced path uses the closed-form
+    cofactor expansion (:func:`invert_4x4_traced`)."""
     if _is_traced(m):
-        import jax.numpy as jnp
-
-        return jnp.linalg.inv(jnp.asarray(m))
+        return invert_4x4_traced(m)
 
     m = np.asarray(m, dtype=np.float64)
     assert m.shape == (4, 4)
