@@ -1,15 +1,31 @@
 """
-Benchmark: ensemble member-years/sec on the flagship coupled model.
+Benchmark: ensemble member-years/sec across the BASELINE.md configurations.
 
 Driver contract: prints ONE JSON line
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
 
-Configuration (BASELINE.md): two-layer + carbon-cycle + CO2 ERF coupled
-graph, 1750–2300 annual steps (550 member-years per member), 10k-member
-parameter ensemble vmapped into one XLA program on a single TPU chip.
+Configs measured (BASELINE.md "Benchmark configs" row):
+
+1. headline — two-layer + carbon-cycle + CO2 ERF coupled graph, 1750-2300
+   annual steps, 10k-member parameter ensemble vmapped into one XLA
+   program on a single TPU chip (plus the 100k scale point);
+2. the ten-component MAGICC coupled graph (chemistry, forcing, climate
+   UDEB, carbon cycle, budget) at 10k and 100k members, streaming scan
+   mode (``extra.magicc_*``);
+3. the MAGICC single-run 1750-2300 wall-clock (``extra.magicc_single_*``);
+4. a 10k-member x 8-SSP batched-exogenous cross-product ensemble
+   (``extra.ssp_*``);
+5. the on-device MCMC engine: whole stretch-move loop as one
+   ``lax.scan`` on chip (``extra.mcmc_*``).
+
+Timing: every config is measured over >= 20 steady-state repetitions
+after a warm-up call (compile excluded); the reported number uses the
+median so round-over-round comparisons are stable against dispatch
+jitter.  Parameters are device-resident (``batched_params`` device_puts
+once); a steady-state call ships no host data.
 
 ``vs_baseline`` is measured against the driver's north-star target of a
-100k-member ensemble in < 1 s  ⇒  5.5e7 member-years/sec.  The reference
+100k-member ensemble in < 1 s  =>  5.5e7 member-years/sec.  The reference
 itself publishes no benchmark numbers (BASELINE.json "published": {}).
 """
 
@@ -24,8 +40,26 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+N_REPS = 20
 
-def build_model(n_years=551):
+
+def _timed(fn, reps=N_REPS):
+    """Median/best wall-clock of ``fn()`` over ``reps`` steady-state calls."""
+    import jax
+
+    out = fn()  # warm-up: trace + compile + first execute
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2], times[0], out
+
+
+def build_flagship(n_years=551):
     from rscm_tpu.components import CO2ERF, CarbonCycle, TwoLayer
     from rscm_tpu.core import ModelBuilder, TimeAxis, Timeseries, VariableSchema
 
@@ -84,75 +118,201 @@ def build_model(n_years=551):
     )
 
 
+def bench_flagship(extra):
+    from rscm_tpu.parallel import EnsembleRunner
+
+    results = {}
+    for n_members in (10_000, 100_000):
+        model = build_flagship()
+        n_years = len(model.time_axis)
+        runner = EnsembleRunner(model)
+        rng = np.random.default_rng(42)
+        params = runner.batched_params(
+            {
+                "TwoLayer.lambda0": rng.uniform(0.8, 1.8, n_members),
+                "TwoLayer.eta": rng.uniform(0.5, 1.2, n_members),
+                "CarbonCycle.tau": rng.uniform(15.0, 60.0, n_members),
+                "CO2ERF.erf_2xco2": rng.uniform(3.0, 4.5, n_members),
+            }
+        )
+        med, best, out = _timed(
+            lambda: runner.run(params=params, out_vars=["Surface Temperature"])
+        )
+        results[n_members] = (med, best, out, n_years)
+        extra[f"wall_s_{n_members // 1000}k_members_{n_years}yr"] = med
+        extra[f"member_years_per_sec_{n_members // 1000}k"] = (
+            n_members * (n_years - 1) / med
+        )
+    extra["final_temp_sample_K"] = float(
+        np.asarray(results[10_000][2]["Surface Temperature"])[0, -1, 0]
+    )
+    med, _, _, n_years = results[10_000]
+    return 10_000 * (n_years - 1) / med
+
+
+def bench_magicc(extra):
+    """Ten-component MAGICC coupled graph at ensemble scale + single run."""
+    from rscm_tpu.magicc.coupled import build_magicc_model
+    from rscm_tpu.parallel import EnsembleRunner
+
+    for n_members in (10_000, 100_000):
+        model = build_magicc_model()
+        n_years = len(model.time_axis)
+        runner = EnsembleRunner(model)
+        rng = np.random.default_rng(3)
+        params = runner.batched_params(
+            {
+                "ClimateUDEB.ecs": rng.uniform(1.8, 5.5, n_members),
+                "ClimateUDEB.kappa": rng.uniform(0.4, 1.5, n_members),
+                "TerrestrialCarbon.beta": rng.uniform(0.3, 0.9, n_members),
+            }
+        )
+        med, best, out = _timed(
+            lambda: runner.run(
+                params=params,
+                out_vars=["Surface Temperature", "Atmospheric Concentration|CO2"],
+            )
+        )
+        temps = np.asarray(out["Surface Temperature"])
+        assert np.all(np.isfinite(temps)), "MAGICC ensemble produced non-finite output"
+        extra[f"magicc_{n_members // 1000}k_wall_s"] = med
+        extra[f"magicc_{n_members // 1000}k_member_years_per_sec"] = (
+            n_members * (n_years - 1) / med
+        )
+
+    # single-run wall-clock, 1750-2300 (the "MAGICC-legacy regression
+    # scenario" shape: full ten-component graph over 550 annual steps)
+    years = np.arange(1750.0, 2301.0)
+    model = build_magicc_model(years=years)
+    runner = EnsembleRunner(model)
+    params = runner.batched_params({"ClimateUDEB.ecs": np.array([3.0])})
+    med, best, _ = _timed(
+        lambda: runner.run(params=params, out_vars=["Surface Temperature"])
+    )
+    extra["magicc_single_550yr_wall_s"] = med
+
+
+def bench_ssp_cross(extra):
+    """10k members x 8 SSP-like scenarios, batched-exogenous cross product."""
+    from rscm_tpu.parallel import EnsembleRunner
+
+    n_members, n_scenarios = 10_000, 8
+    model = build_flagship()
+    n_years = len(model.time_axis)
+    years = np.arange(1750.0, 1750.0 + n_years)
+
+    ramp = np.linspace(0.0, 1.0, n_years)
+    peaks = np.linspace(2.0, 30.0, n_scenarios)
+    declines = np.linspace(0.9, 0.0, n_scenarios)
+    scenarios = np.stack(
+        [
+            np.maximum(
+                peak * np.sin(np.pi * np.clip(ramp / (1.0 - 0.4 * dec), 0, 1)), 0.0
+            )[:, None]
+            for peak, dec in zip(peaks, declines)
+        ]
+    )  # (S, n_years, 1)
+
+    runner = EnsembleRunner(model)
+    rng = np.random.default_rng(5)
+    batch = n_members * n_scenarios
+    params = runner.batched_params(
+        {
+            "TwoLayer.lambda0": np.tile(rng.uniform(0.8, 1.8, n_members), n_scenarios),
+            "CarbonCycle.tau": np.tile(rng.uniform(15.0, 60.0, n_members), n_scenarios),
+        }
+    )
+    import jax
+
+    exo = {
+        "Emissions|CO2|Anthropogenic": jax.device_put(
+            np.repeat(scenarios, n_members, axis=0).astype(runner.program.dtype)
+        )
+    }
+    med, best, out = _timed(
+        lambda: runner.run(params=params, exo=exo, out_vars=["Surface Temperature"])
+    )
+    extra["ssp_10k_x8_wall_s"] = med
+    extra["ssp_10k_x8_member_years_per_sec"] = batch * (n_years - 1) / med
+
+
+def bench_mcmc(extra):
+    """On-device stretch-move MCMC: whole loop as one lax.scan on chip."""
+    from rscm_tpu.calibrate import (
+        CompiledModelRunner,
+        EnsembleSampler,
+        GaussianLikelihood,
+        ParameterSet,
+        Target,
+        Uniform,
+        WalkerInit,
+    )
+
+    model = build_flagship(n_years=151)
+    truth = np.linspace(0.5, 2.0, 151) * 1.0  # synthetic observations
+    target = Target()
+    vt = target.add_variable("Surface Temperature")
+    for i in range(10, 151, 10):
+        vt.add(1750.0 + i, float(truth[i]), 0.1)
+
+    runner = CompiledModelRunner(
+        model,
+        param_map={"lambda0": "TwoLayer.lambda0", "tau": "CarbonCycle.tau"},
+        output_variables=["Surface Temperature"],
+    )
+    params = ParameterSet().add("lambda0", Uniform(0.5, 2.5)).add(
+        "tau", Uniform(10.0, 80.0)
+    )
+    sampler = EnsembleSampler(params, runner, GaussianLikelihood(), target)
+
+    n_iterations, n_walkers = 500, 32
+    t0 = time.perf_counter()
+    sampler.run(
+        n_iterations=n_iterations,
+        init=WalkerInit.from_prior(),
+        thin=1,
+        seed=7,
+        engine="device",
+    )
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    chain = sampler.run(
+        n_iterations=n_iterations,
+        init=WalkerInit.from_prior(),
+        thin=1,
+        seed=8,
+        engine="device",
+    )
+    steady = time.perf_counter() - t0
+    assert chain is not None
+    extra["mcmc_device_first_s_incl_compile"] = first
+    extra["mcmc_device_steady_s_500it_32walkers"] = steady
+    extra["mcmc_device_iterations_per_sec"] = n_iterations / steady
+    extra["mcmc_device_model_evals_per_sec"] = n_iterations * n_walkers / steady
+
+
 def main():
     import jax
 
-    from rscm_tpu.parallel import EnsembleRunner
+    extra = {
+        "device": str(jax.devices()[0]),
+        "n_reps": N_REPS,
+        "timing": "median of steady-state reps (warm-up/compile excluded)",
+    }
 
-    n_members = 10_000
-    model = build_model()
-    n_years = len(model.time_axis)
-    member_years = n_members * (n_years - 1)
+    value = bench_flagship(extra)
+    extra["dtype"] = "float32"
+    bench_magicc(extra)
+    bench_ssp_cross(extra)
+    bench_mcmc(extra)
 
-    runner = EnsembleRunner(model)
-    rng = np.random.default_rng(42)
-    params = runner.batched_params(
-        {
-            "TwoLayer.lambda0": rng.uniform(0.8, 1.8, n_members),
-            "TwoLayer.eta": rng.uniform(0.5, 1.2, n_members),
-            "CarbonCycle.tau": rng.uniform(15.0, 60.0, n_members),
-            "CO2ERF.erf_2xco2": rng.uniform(3.0, 4.5, n_members),
-        }
-    )
-
-    # warm-up (trace + compile, excluded from measurement)
-    out = runner.run(params=params, out_vars=["Surface Temperature"])
-    jax.block_until_ready(out)
-
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = runner.run(params=params, out_vars=["Surface Temperature"])
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-
-    # secondary scale point: 100k members through a fresh runner (one
-    # executable per process — see axon second-executable caveat)
-    big_n = 100_000
-    big_runner = EnsembleRunner(build_model())
-    big_params = big_runner.batched_params(
-        {"TwoLayer.lambda0": rng.uniform(0.8, 1.8, big_n)}
-    )
-    big_out = big_runner.run(params=big_params, out_vars=["Surface Temperature"])
-    jax.block_until_ready(big_out)
-    big_times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        big_out = big_runner.run(params=big_params, out_vars=["Surface Temperature"])
-        jax.block_until_ready(big_out)
-        big_times.append(time.perf_counter() - t0)
-    big_best = min(big_times)
-
-    value = member_years / best
     north_star = 100_000 * 550 / 1.0  # 100k members, 1750-2300, <1s
     result = {
         "metric": "ensemble_member_years_per_sec_10k_members",
         "value": value,
         "unit": "member-years/s",
         "vs_baseline": value / north_star,
-        "extra": {
-            "wall_s_10k_members_551yr": best,
-            "n_members": n_members,
-            "n_years": n_years,
-            "device": str(jax.devices()[0]),
-            "dtype": str(np.dtype(runner.program.dtype)),
-            "final_temp_sample_K": float(
-                np.asarray(out["Surface Temperature"])[0, -1, 0]
-            ),
-            "wall_s_100k_members_551yr": big_best,
-            "member_years_per_sec_100k": big_n * (n_years - 1) / big_best,
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 

@@ -241,15 +241,22 @@ class EnsembleSampler:
         progress_callback: Optional[Callable] = None,
         seed: Optional[int] = None,
         engine: Optional[str] = None,
+        mesh=None,
     ) -> Chain:
-        """Sample; ``engine`` in {None (auto), "device", "host"}."""
+        """Sample; ``engine`` in {None (auto), "device", "host"}.
+
+        ``mesh`` (device engine only) shards the walker axis over a 1-D
+        ``jax.sharding.Mesh`` so walker posterior evaluations run data-
+        parallel across chips; the stretch-move complement draws become
+        cross-device gathers inserted by GSPMD.
+        """
         n_walkers = n_walkers or self.default_n_walkers
         rng = np.random.default_rng(seed)
         positions = init.initialize(n_walkers, self.params, rng)
         state = SamplerState(positions, self.params.param_names())
         chain = Chain(self.params.param_names(), thin)
         return self._run_from_state(
-            state, chain, n_iterations, rng, progress_callback, engine
+            state, chain, n_iterations, rng, progress_callback, engine, mesh=mesh
         )
 
     run_with_walkers = run
@@ -322,6 +329,7 @@ class EnsembleSampler:
         engine,
         checkpoint_every: Optional[int] = None,
         checkpoint_path: Optional[str] = None,
+        mesh=None,
     ) -> Chain:
         # Validate here so every entry point — run, run_with_checkpoint and
         # resume_from_checkpoint — rejects walker counts the half-split
@@ -348,6 +356,7 @@ class EnsembleSampler:
                 progress_callback,
                 checkpoint_every,
                 checkpoint_path,
+                mesh=mesh,
             )
         return self._run_host(
             state,
@@ -417,7 +426,7 @@ class EnsembleSampler:
 
     def _run_device(
         self, log_prob, state, chain, n_iterations, rng, progress_callback,
-        checkpoint_every=None, checkpoint_path=None,
+        checkpoint_every=None, checkpoint_path=None, mesh=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -473,11 +482,29 @@ class EnsembleSampler:
             positions, log_probs, _ = carry
             return carry, (positions, log_probs)
 
-        @jax.jit
-        def run_scan(positions, log_probs, n_accepted, keys):
+        def _scan(positions, log_probs, n_accepted, keys):
             return jax.lax.scan(
                 iteration_step, (positions, log_probs, n_accepted), keys
             )
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if n_walkers % (2 * mesh.devices.size) != 0:
+                raise ValueError(
+                    f"mesh-sharded device engine needs n_walkers divisible by "
+                    f"2 x n_devices (= {2 * mesh.devices.size}), got {n_walkers}"
+                )
+            axis = mesh.axis_names[0]
+            walkers = NamedSharding(mesh, P(axis))
+            walkers_2d = NamedSharding(mesh, P(axis, None))
+            replicated = NamedSharding(mesh, P())
+            run_scan = jax.jit(
+                _scan,
+                in_shardings=(walkers_2d, walkers, walkers, replicated),
+            )
+        else:
+            run_scan = jax.jit(_scan)
 
         positions = jnp.asarray(state.positions, dtype=dtype)
         if state.iteration == 0 or not np.all(np.isfinite(state.log_probs)):

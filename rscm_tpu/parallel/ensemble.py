@@ -59,6 +59,17 @@ class EnsembleRunner:
         self.model = model
         self.program = ModelProgram(model, dtype=dtype)
         self._jitted = {}
+        self._input_cache = {}
+
+    def refresh_inputs(self):
+        """Drop the cached device-resident model inputs.
+
+        :meth:`run` snapshots the model's endogenous window, exogenous data
+        and internal states onto the device on first use (so steady-state
+        calls ship only the parameters).  Call this if the underlying model
+        state was mutated after the runner was first used.
+        """
+        self._input_cache.clear()
 
     # -- base (single-member) inputs ----------------------------------------
 
@@ -78,12 +89,19 @@ class EnsembleRunner:
         """Batched parameter pytree from per-parameter override arrays.
 
         ``overrides`` maps ``"ComponentName.param"`` to a (B,) array; all
-        other parameters broadcast from the model's values.
+        other parameters stay **unbatched scalars** (vmapped with
+        ``in_axes=None``), so only the varied parameters occupy batch-sized
+        device memory.  The returned leaves are device-resident: for big
+        ensembles the host->device transfer happens once here, not on every
+        :meth:`run` call (through the remote-TPU tunnel, re-shipping ~100
+        broadcast ``(B,)`` arrays per call measured 38 s at 100k members
+        where the compute itself is <1 ms).
         """
+        import jax
+
         base = self.base_params()
         sizes = {v.shape[0] for v in overrides.values()}
         assert len(sizes) == 1, "override arrays must share the batch size"
-        (batch,) = sizes
 
         name_for_node = {}
         for node in self.program.exec_nodes:
@@ -105,8 +123,8 @@ class EnsembleRunner:
                         overrides[key], dtype=self.program.dtype
                     )
                 else:
-                    out[node_key][pname] = np.broadcast_to(
-                        np.asarray(value, dtype=self.program.dtype), (batch,)
+                    out[node_key][pname] = np.asarray(
+                        value, dtype=self.program.dtype
                     )
         unknown = set(overrides) - matched
         if unknown:
@@ -119,11 +137,11 @@ class EnsembleRunner:
                 f"batched_params: unknown parameter(s) {sorted(unknown)}; "
                 f"known traced parameters: {known}"
             )
-        return out
+        return jax.device_put(out)
 
     # -- execution -----------------------------------------------------------
 
-    def _build_fn(self, batch_exo: bool, start_idx: int, stream_out=None):
+    def _build_fn(self, exo_axes, start_idx: int, stream_out, param_axes):
         import jax
 
         p = self.program
@@ -142,7 +160,10 @@ class EnsembleRunner:
                 endo_out, _ = p.run_fn(endo, exo, params, internals, start_idx=start_idx)
                 return endo_out
 
-        in_axes = (None, 0 if batch_exo else None, 0, None)
+        # per-leaf axes: only the actually-varied parameters / batched
+        # exogenous scenarios are mapped; everything else rides along via
+        # in_axes=None (no (B, ...) broadcast, no per-call re-transfer)
+        in_axes = (None, exo_axes, param_axes, None)
         return jax.vmap(single, in_axes=in_axes)
 
     def run(
@@ -176,42 +197,108 @@ class EnsembleRunner:
         stream_out = None
         if stream:
             stream_out = tuple(out_vars) if out_vars is not None else tuple(p.endo_names)
-        endo = p.gather_endo_window(start_idx) if stream else p.gather_endo()
-        internals = p.gather_internals()
-        base_exo = p.gather_exo()
+
+        # static model inputs: gathered + device-put once, reused across calls
+        cache_key = (stream, start_idx)
+        if cache_key not in self._input_cache:
+            gathered_endo = (
+                p.gather_endo_window(start_idx) if stream else p.gather_endo()
+            )
+            self._input_cache[cache_key] = jax.device_put(
+                (gathered_endo, p.gather_exo(), p.gather_internals())
+            )
+        endo, base_exo, internals = self._input_cache[cache_key]
+
         batch_exo = exo is not None
         if batch_exo:
-            full_exo = dict(base_exo)
-            full_exo.update({k: np.asarray(v, dtype=p.dtype) for k, v in exo.items()})
-            # broadcast any unbatched exogenous vars to the batch
-            some_batched = next(iter(exo.values()))
-            batch = np.asarray(some_batched).shape[0]
-            for k, v in full_exo.items():
-                if np.asarray(v).ndim == 2:
-                    full_exo[k] = np.broadcast_to(v, (batch,) + np.asarray(v).shape)
-            exo_arg = full_exo
+            # batched members keep axis 0; unbatched model exogenous rides
+            # along unmapped (in_axes=None) — no (B, ...) broadcast
+            exo_arg = dict(base_exo)
+            exo_arg.update({k: np.asarray(v, dtype=p.dtype) for k, v in exo.items()})
         else:
             exo_arg = base_exo
 
-        key = (batch_exo, start_idx, mesh is not None and mesh.axis_names, stream_out)
+        param_axes = jax.tree.map(
+            lambda v: 0 if np.ndim(v) >= 1 else None, params
+        )
+        # exogenous leaves are (n_steps, g) unbatched or (B, n_steps, g) batched
+        exo_axes = jax.tree.map(
+            lambda v: 0 if np.ndim(v) >= 3 else None, exo_arg
+        )
+        axes_key = (
+            tuple(
+                (nk, pn)
+                for nk, node_params in sorted(params.items())
+                for pn, v in sorted(node_params.items())
+                if np.ndim(v) >= 1
+            ),
+            tuple(k for k, v in sorted(exo_arg.items()) if np.ndim(v) >= 3),
+        )
+        if not axes_key[0] and not axes_key[1]:
+            raise ValueError(
+                "EnsembleRunner.run: nothing is batched — provide batched "
+                "parameters (batched_params/stack_params) and/or batched "
+                "exogenous scenarios"
+            )
+
+        # uneven batches on a mesh: pad with the last member, slice after.
+        # (Device-sharded arrays need the batch to divide the device count;
+        # padding costs one host round-trip of the batched leaves, so even
+        # batches stay on the fast path.)
+        batch = next(
+            (
+                np.shape(v)[0]
+                for node_params in params.values()
+                for v in node_params.values()
+                if np.ndim(v) >= 1
+            ),
+            None,
+        )
+        if batch is None:
+            batch = next(np.shape(v)[0] for v in exo_arg.values() if np.ndim(v) >= 3)
+        pad = 0
+        if mesh is not None:
+            n_dev = int(mesh.devices.size)
+            pad = (-batch) % n_dev
+            if pad:
+
+                def _pad(v, batched):
+                    if not batched:
+                        return v
+                    v = np.asarray(v)
+                    tail = np.broadcast_to(v[-1:], (pad,) + v.shape[1:])
+                    return np.concatenate([v, tail])
+
+                params = {
+                    nk: {
+                        pn: _pad(v, np.ndim(v) >= 1) for pn, v in node_params.items()
+                    }
+                    for nk, node_params in params.items()
+                }
+                exo_arg = {k: _pad(v, np.ndim(v) >= 3) for k, v in exo_arg.items()}
+        key = (
+            start_idx, mesh is not None and mesh.axis_names, stream_out, axes_key,
+        )
         if key not in self._jitted:
-            fn = self._build_fn(batch_exo, start_idx, stream_out=stream_out)
+            fn = self._build_fn(exo_axes, start_idx, stream_out, param_axes)
             if mesh is not None:
                 axis = mesh.axis_names[0]
                 batch_sharding = NamedSharding(mesh, P(axis))
                 replicated = NamedSharding(mesh, P())
 
-                def shard_batched(tree, batched):
+                def shard_for(axes_tree):
                     return jax.tree.map(
-                        lambda _: batch_sharding if batched else replicated, tree
+                        lambda ax: batch_sharding if ax == 0 else replicated,
+                        axes_tree,
+                        is_leaf=lambda x: x is None or x == 0,
                     )
 
                 self._jitted[key] = jax.jit(
                     fn,
                     in_shardings=(
                         replicated,
-                        batch_sharding if batch_exo else replicated,
-                        batch_sharding,
+                        shard_for(exo_axes),
+                        shard_for(param_axes),
                         replicated,
                     ),
                 )
@@ -221,4 +308,6 @@ class EnsembleRunner:
         endo_out = self._jitted[key](endo, exo_arg, params, internals)
         if out_vars is not None:
             endo_out = {k: v for k, v in endo_out.items() if k in out_vars}
+        if pad:
+            endo_out = {k: v[:batch] for k, v in endo_out.items()}
         return endo_out

@@ -17,9 +17,9 @@ from rscm_tpu.parallel import EnsembleRunner
 
 
 def _flagship(n_years=30):
-    from bench import build_model
+    from bench import build_flagship
 
-    return build_model(n_years=n_years)
+    return build_flagship(n_years=n_years)
 
 
 def _assert_trajectories_equal(full, streamed):
