@@ -115,10 +115,17 @@ def lamcalc_traced(params: LamcalcParams, ecs, fallback):
     fglsum = params.fgnl + params.fgsl
     fratio = fgosum / fglsum
 
-    area = jnp.asarray([params.fgno, params.fgnl, params.fgso, params.fgsl])
-    rf_regions = jnp.asarray(params.rf_regions_co2)
+    # Working dtype follows the (possibly traced) ECS; constants are pinned
+    # to it so an f32 program is not promoted to f64 under x64 mode.
+    wdt = jnp.result_type(jnp.asarray(ecs))
+
+    def C(x):
+        return jnp.asarray(x, dtype=wdt)
+
+    area = C([params.fgno, params.fgnl, params.fgso, params.fgsl])
+    rf_regions = C(params.rf_regions_co2)
     rf_sum = jnp.dot(rf_regions, area)
-    qfrac = jnp.where(jnp.abs(rf_sum) <= 1e-15, jnp.ones(4), rf_regions / rf_sum)
+    qfrac = jnp.where(jnp.abs(rf_sum) <= 1e-15, jnp.ones(4, wdt), rf_regions / rf_sum)
 
     k_lo = params.k_lo
     k_ns = params.k_ns
@@ -126,7 +133,8 @@ def lamcalc_traced(params: LamcalcParams, ecs, fallback):
 
     def coupling_matrix(lam_o, lam_l):
         return jnp.asarray(
-            [
+            dtype=wdt,
+            a=[
                 [params.fgno * lam_o + k_lo * alpha + k_ns, -k_lo, -k_ns, 0.0],
                 [-k_lo * alpha, params.fgnl * lam_l + k_lo, 0.0, 0.0],
                 [-k_ns, 0.0, params.fgso * lam_o + k_lo * alpha + k_ns, -k_lo],
@@ -190,23 +198,23 @@ def lamcalc_traced(params: LamcalcParams, ecs, fallback):
                 found, best_lam_o, best_lam_l, best_inv)
 
     init = (
-        jnp.asarray(0.0) + lam,  # lamo[i-2] placeholder (lamo[0]=0 in ref; see note)
-        jnp.asarray(0.0) + lam,  # lamo[i-1] = lamo[1] = lam
+        C(0.0) + lam,  # lamo[i-2] placeholder (lamo[0]=0 in ref; see note)
+        C(0.0) + lam,  # lamo[i-1] = lamo[1] = lam
         lam + 0.7,  # lamo[i] = lamo[2]
-        jnp.asarray(0.0),  # diff[i-2] = diff[0] = 0
-        jnp.asarray(0.0),  # diff[i-1] = diff[1] = 0
-        jnp.asarray(0.7),
+        C(0.0),  # diff[i-2] = diff[0] = 0
+        C(0.0),  # diff[i-1] = diff[1] = 0
+        C(0.7),
         jnp.asarray(0),
         jnp.asarray(False),
-        jnp.asarray(0.0),
-        jnp.asarray(0.0),
-        jnp.zeros((4, 4)),
+        C(0.0),
+        C(0.0),
+        jnp.zeros((4, 4), wdt),
     )
     out = lax.fori_loop(0, MAX_ITERATIONS - 1, body, init)
     found = out[7]
-    lam_o = jnp.where(found, out[8], fallback[0])
-    lam_l = jnp.where(found, out[9], fallback[1])
-    inv = jnp.where(found, out[10], jnp.asarray(fallback[2]))
+    lam_o = jnp.where(found, out[8], C(fallback[0]))
+    lam_l = jnp.where(found, out[9], C(fallback[1]))
+    inv = jnp.where(found, out[10], C(fallback[2]))
 
     # internal efficacy from the converged inverse (lamcalc.rs:64-90)
     temps = q * (inv @ (area * qfrac))
@@ -214,7 +222,7 @@ def lamcalc_traced(params: LamcalcParams, ecs, fallback):
     efficacy = jnp.where(
         jnp.abs(rf_sum) <= 1e-15, 1.0, t_global / ecs
     )
-    efficacy = jnp.where(found, efficacy, fallback[3])
+    efficacy = jnp.where(found, efficacy, C(fallback[3]))
     return lam_o, lam_l, inv, efficacy
 
 

@@ -502,6 +502,15 @@ class ClimateUDEB(Component):
         land_temps = jnp.asarray(state["land_temps"])
         ground_temps = jnp.asarray(state["ground_temps"])
 
+        # Working dtype follows the state leaves (the program's dtype).
+        # Constants must be pinned to it: under x64 mode numpy arrays
+        # default to float64, and a single strong-f64 constant would
+        # promote the whole scan carry, breaking f32 programs.
+        wdt = ocean_temps.dtype
+
+        def C(x):
+            return jnp.asarray(x, dtype=wdt)
+
         # branch-free resume seeding (mirror of the host path's guard)
         seed = (
             (ocean_temps[0, 0] == 0.0)
@@ -527,7 +536,7 @@ class ClimateUDEB(Component):
         weights[: min(n_full, capacity)] = 1.0
         if n_full < capacity and frac > 0:
             weights[n_full] = frac
-        cum_t = jnp.dot(jnp.asarray(state["th_values"]), jnp.asarray(weights))
+        cum_t = jnp.dot(jnp.asarray(state["th_values"]), C(weights))
 
         cumt_2x = self.ecs * period
         erf_mid = (erf_start + erf_end) / 2.0
@@ -558,9 +567,9 @@ class ClimateUDEB(Component):
                  self.co2_internal_efficacy),
             )
         else:
-            lam_o = jnp.asarray(self.lambda_ocean)
-            lam_l = jnp.asarray(self.lambda_land)
-            co2_eff = jnp.asarray(self.co2_internal_efficacy)
+            lam_o = C(self.lambda_ocean)
+            lam_l = C(self.lambda_land)
+            co2_eff = C(self.co2_internal_efficacy)
         # Unlike the host path (which reuses the build-time LAMCALC result
         # when adjusted_ecs == ecs), the traced path always derives the
         # lambdas in-graph: parameters may be traced/batched, so the
@@ -574,20 +583,20 @@ class ClimateUDEB(Component):
         dz_mix = self.mixed_layer_depth
         dz1 = dz / 2.0
         pi_ratio = self.polar_sinking_ratio
-        af_top = jnp.asarray(self.af_top)
-        af_bot = jnp.asarray(self.af_bottom)
-        af_diff = jnp.asarray(self.af_diff)
+        af_top = C(self.af_top)
+        af_bot = C(self.af_bottom)
+        af_diff = C(self.af_diff)
         kappa_min = self.kappa_min_m2_per_yr()
         total_depth = dz_mix + (n - 1.0) * dz
         depths = dz_mix + np.arange(n - 1) * dz
-        relative_depth = jnp.asarray(depths / total_depth)
+        relative_depth = C(depths / total_depth)
 
         f_l = np.array([self.nh_land_fraction / 2.0, self.sh_land_fraction / 2.0])
         f_o = 0.5 - f_l
         w_thresh = jnp.stack(
-            [jnp.asarray(self.w_threshold_temp_nh), jnp.asarray(self.w_threshold_temp_sh)]
+            [C(self.w_threshold_temp_nh), C(self.w_threshold_temp_sh)]
         )
-        qfrac = jnp.asarray(self.co2_qfrac)
+        qfrac = C(self.co2_qfrac)
         init_profiles = jnp.asarray(state["initial_ocean_profile"])
         t_polar = state["polar_sinking_temp"]
         alpha_eff = jnp.asarray(state["alpha_eff"])
@@ -618,11 +627,11 @@ class ClimateUDEB(Component):
             )
             return jnp.where(nonzero, quad_regime, alpha * sst)
 
-        f_l_v = jnp.asarray(f_l)  # (2,)
-        f_o_v = jnp.asarray(f_o)  # (2,)
+        f_l_v = C(f_l)  # (2,)
+        f_o_v = C(f_o)  # (2,)
         idx = np.arange(1, n - 1)
         dz_up = np.where(idx == 1, dz1, dz)
-        inv_dz_dzup = jnp.asarray(1.0 / (dz * dz_up))  # (n-2,)
+        inv_dz_dzup = C(1.0 / (dz * dz_up))  # (n-2,)
 
         def step_ocean_columns(ocean, w, forcing, hemi_exchange, ground, land, a_eff):
             """One monthly implicit update of BOTH hemispheric columns.
@@ -714,9 +723,9 @@ class ClimateUDEB(Component):
             if self.land_heat_capacity_enabled:
                 flux = self.k_lg * (land_temps - ground_temps)
                 safe_fl = np.where(f_l < 1e-15, 1.0, f_l)
-                delta_ground = flux / (jnp.asarray(safe_fl) * c_ground) * dt_sub
+                delta_ground = flux / (C(safe_fl) * c_ground) * dt_sub
                 ground_temps = ground_temps + jnp.where(
-                    jnp.asarray(f_l) < 1e-15, 0.0, delta_ground
+                    C(f_l) < 1e-15, 0.0, delta_ground
                 )
 
             ocean_temps = step_ocean_columns(
@@ -756,7 +765,7 @@ class ClimateUDEB(Component):
             )
             return (ocean_temps, land_temps, ground_temps, hemi_exchange, upwelling), None
 
-        fracs = jnp.asarray(np.arange(1, steps + 1) / steps)
+        fracs = C(np.arange(1, steps + 1) / steps)
         carry = (
             ocean_temps, land_temps, ground_temps,
             jnp.asarray(state["hemi_heat_exchange"]),
@@ -782,7 +791,7 @@ class ClimateUDEB(Component):
             [t_air_nho, land_temps[0], t_air_sho, land_temps[1]]
         )
 
-        area = jnp.asarray([fgno, fgnl, fgso, fgsl])
+        area = C([fgno, fgnl, fgso, fgsl])
         global_temp = jnp.dot(surface_temperature, area)
 
         from rscm_tpu.core import xmath as xm
@@ -803,7 +812,7 @@ class ClimateUDEB(Component):
         }
 
         forcing_end = apply_forcing(erf_end)
-        lambdas = jnp.asarray([1.0, 0.0, 1.0, 0.0]) * lam_o + jnp.asarray(
+        lambdas = C([1.0, 0.0, 1.0, 0.0]) * lam_o + C(
             [0.0, 1.0, 0.0, 1.0]
         ) * lam_l
         heat_uptake = jnp.dot(area, forcing_end) - jnp.dot(

@@ -249,6 +249,55 @@ class TestEnsembleSampler:
         assert r_hat["lambda0"] < 1.2
         assert flat[:, 0].std() < 0.05  # tight, well-mixed posterior
 
+    def test_device_sampler_on_mesh_matches_single_device(self, compiled_runner):
+        """Mesh-sharding the walker axis must not change the sampled chain:
+        the same seed produces the same positions (the complement draws are
+        pure array indexing, turned into cross-device gathers by GSPMD)."""
+        import jax
+
+        from rscm_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple (virtual) devices")
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        target = _make_target()
+        n_walkers = 4 * len(jax.devices())
+
+        def run(mesh):
+            sampler = EnsembleSampler(
+                params, compiled_runner, GaussianLikelihood(), target
+            )
+            return sampler.run(
+                n_iterations=20, init=WalkerInit.from_prior(), thin=1,
+                n_walkers=n_walkers, seed=21, engine="device", mesh=mesh,
+            )
+
+        plain = run(None).flat_samples(discard=0)
+        sharded = run(make_mesh()).flat_samples(discard=0)
+        assert sharded.shape == (20 * n_walkers, 1)
+        assert np.all(np.isfinite(sharded))
+        np.testing.assert_allclose(plain, sharded, rtol=1e-6)
+
+    def test_device_sampler_mesh_rejects_indivisible_walkers(
+        self, compiled_runner
+    ):
+        import jax
+
+        from rscm_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple (virtual) devices")
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        sampler = EnsembleSampler(
+            params, compiled_runner, GaussianLikelihood(), _make_target()
+        )
+        bad = 2 * len(jax.devices()) + 2  # even, but half not shardable
+        with pytest.raises(ValueError, match="divisible"):
+            sampler.run(
+                n_iterations=2, init=WalkerInit.from_prior(), thin=1,
+                n_walkers=bad, seed=1, engine="device", mesh=make_mesh(),
+            )
+
     def test_host_sampler_with_default_runner(self):
         # host path: user factory building a fresh model per theta
         def factory(theta):

@@ -96,6 +96,63 @@ class TestEnsembleRunner:
             rtol=1e-12,
         )
 
+    def test_mesh_uneven_batch_matches_unsharded(self):
+        """A batch that does not divide the device count pads internally and
+        slices the padding off, so results match the unsharded run exactly."""
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple (virtual) devices")
+        years = np.arange(2000.0, 2015.0)
+        erf = np.full(len(years), 3.7)
+        model = build_model(years, erf)
+
+        batch = len(jax.devices()) + 3  # deliberately not divisible
+        lambdas = np.linspace(0.7, 2.0, batch)
+
+        runner = EnsembleRunner(model)
+        params = runner.batched_params({"TwoLayer.lambda0": lambdas})
+        plain = runner.run(params=params, out_vars=["Surface Temperature"])
+
+        sharded_runner = EnsembleRunner(model)
+        sharded = sharded_runner.run(
+            params=params, mesh=make_mesh(), out_vars=["Surface Temperature"]
+        )
+        result = np.asarray(sharded["Surface Temperature"])
+        assert result.shape == (batch, len(years), 1)
+        np.testing.assert_allclose(
+            np.asarray(plain["Surface Temperature"]), result, rtol=1e-12
+        )
+
+    def test_mesh_batched_exogenous(self):
+        """Batched-exogenous scenarios shard over the mesh like parameters."""
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple (virtual) devices")
+        years = np.arange(2000.0, 2012.0)
+        model = build_model(years, np.zeros(len(years)))
+
+        n_scenarios = len(jax.devices())
+        scenarios = np.stack(
+            [np.full((len(years), 1), f) for f in np.linspace(1.0, 4.0, n_scenarios)]
+        )
+        runner = EnsembleRunner(model)
+        params = runner.batched_params(
+            {"TwoLayer.lambda0": np.ones(n_scenarios)}
+        )
+        out = runner.run(
+            params=params,
+            exo={"Effective Radiative Forcing": scenarios},
+            mesh=make_mesh(),
+            out_vars=["Surface Temperature"],
+        )
+        temps = np.asarray(out["Surface Temperature"])
+        assert temps.shape == (n_scenarios, len(years), 1)
+        # linear model: response ordering follows forcing ordering
+        finals = temps[:, -1, 0]
+        assert np.all(np.diff(finals) > 0)
+
 
 def test_batched_params_rejects_unknown_names():
     years = np.arange(2000.0, 2005.0)
