@@ -23,6 +23,7 @@ from .likelihood import GaussianLikelihood, LikelihoodFn, ModelOutput, VariableO
 from .model_runner import CompiledModelRunner, DefaultModelRunner, ModelRunner
 from .chain import Chain
 from .sampler import EnsembleSampler, ProgressInfo, SamplerState, StretchMove, WalkerInit
+from .nuts import NUTSSampler
 from .point_estimator import (
     AdamOptimizer,
     EstimateKind,
@@ -66,6 +67,7 @@ __all__ = [
     "LogNormal",
     "ModelOutput",
     "ModelRunner",
+    "NUTSSampler",
     "Normal",
     "Observation",
     "Optimizer",

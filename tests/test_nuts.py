@@ -1,0 +1,175 @@
+"""NUTS sampler: posterior recovery, efficiency vs the stretch sampler.
+
+The headline claim (SURVEY.md §7: gradients through the compiled model
+"enabling real L-BFGS/NUTS" — beyond the reference's capabilities) is
+tested directly: NUTS recovers the same posterior as the stretch-move
+ensemble sampler in a fraction of the model evaluations.
+"""
+
+import numpy as np
+import pytest
+
+from rscm_tpu.calibrate import (
+    CompiledModelRunner,
+    DefaultModelRunner,
+    EnsembleSampler,
+    GaussianLikelihood,
+    NUTSSampler,
+    ParameterSet,
+    Target,
+    Uniform,
+    WalkerInit,
+)
+from rscm_tpu.components import TwoLayer
+from rscm_tpu.core import ModelBuilder, TimeAxis, Timeseries
+
+YEARS = np.arange(2000.0, 2051.0)
+TRUE_LAMBDA = 1.2
+TRUE_ETA = 0.7
+
+
+def _build(lambda0=TRUE_LAMBDA, eta=TRUE_ETA):
+    return (
+        ModelBuilder()
+        .with_time_axis(TimeAxis.from_values(YEARS))
+        .with_component(
+            TwoLayer(
+                lambda0=lambda0, a=0.0, efficacy=1.0, eta=eta,
+                heat_capacity_surface=8.0, heat_capacity_deep=100.0,
+            )
+        )
+        .with_exogenous_variable(
+            "Effective Radiative Forcing",
+            Timeseries.from_values(np.full(len(YEARS), 3.7), YEARS),
+        )
+        .with_initial_values(
+            {"Surface Temperature": 0.0, "Deep Ocean Temperature": 0.0}
+        )
+        .build()
+    )
+
+
+def _make_target(noise_seed=1, sigma=0.05):
+    truth = _build()
+    truth.run()
+    temps = truth.collection.get_data("Surface Temperature").values()[:, 0]
+    rng = np.random.default_rng(noise_seed)
+    target = Target()
+    vt = target.add_variable("Surface Temperature")
+    for i in range(10, len(YEARS), 5):
+        vt.add(float(YEARS[i]), float(temps[i] + rng.normal(0, 0.02)), sigma)
+    return target
+
+
+@pytest.fixture(scope="module")
+def runner_1d():
+    return CompiledModelRunner(
+        _build(),
+        param_map={"lambda0": "TwoLayer.lambda0"},
+        output_variables=["Surface Temperature"],
+    )
+
+
+class TestNUTS:
+    def test_recovers_parameter(self, runner_1d):
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        sampler = NUTSSampler(
+            params, runner_1d, GaussianLikelihood(), _make_target(),
+            max_tree_depth=6,
+        )
+        chain = sampler.run(n_iterations=200, n_chains=4, warmup=100, seed=3)
+        flat = chain.flat_samples(discard=0)
+        assert flat.shape == (800, 1)
+        assert flat[:, 0].mean() == pytest.approx(TRUE_LAMBDA, abs=0.05)
+        assert flat[:, 0].std() < 0.05
+        assert chain.r_hat()["lambda0"] < 1.1
+        assert sampler.last_diagnostics["n_divergences"] == 0
+
+    def test_fewer_model_evals_than_stretch(self, runner_1d):
+        """The VERDICT stretch goal: NUTS must reach the posterior in fewer
+        model evaluations than the stretch-move ensemble sampler."""
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        target = _make_target()
+
+        # stretch sampler at the settings its own recovery test needs
+        stretch_iters, stretch_walkers = 400, 32
+        stretch = EnsembleSampler(
+            params, runner_1d, GaussianLikelihood(), target
+        )
+        s_chain = stretch.run(
+            n_iterations=stretch_iters, init=WalkerInit.from_prior(),
+            thin=1, n_walkers=stretch_walkers, seed=7, engine="device",
+        )
+        stretch_evals = stretch_iters * stretch_walkers
+        s_flat = s_chain.flat_samples(discard=stretch_iters // 2)
+
+        nuts = NUTSSampler(
+            params, runner_1d, GaussianLikelihood(), target, max_tree_depth=6
+        )
+        n_chain = nuts.run(n_iterations=200, n_chains=4, warmup=100, seed=3)
+        nuts_evals = nuts.last_diagnostics["n_model_evals"]
+        n_flat = n_chain.flat_samples(discard=0)
+
+        # same posterior ...
+        assert n_flat[:, 0].mean() == pytest.approx(
+            s_flat[:, 0].mean(), abs=0.03
+        )
+        assert n_flat[:, 0].std() == pytest.approx(
+            s_flat[:, 0].std(), rel=0.5
+        )
+        assert n_chain.r_hat()["lambda0"] < 1.1
+        # ... at a fraction of the model evaluations (incl. NUTS warmup)
+        assert nuts_evals < stretch_evals / 2, (
+            f"NUTS used {nuts_evals} evals vs stretch {stretch_evals}"
+        )
+
+    def test_two_parameter_posterior(self):
+        runner = CompiledModelRunner(
+            _build(),
+            param_map={
+                "lambda0": "TwoLayer.lambda0",
+                "eta": "TwoLayer.eta",
+            },
+            output_variables=["Surface Temperature"],
+        )
+        params = (
+            ParameterSet()
+            .add("lambda0", Uniform(0.5, 2.5))
+            .add("eta", Uniform(0.2, 1.5))
+        )
+        sampler = NUTSSampler(
+            params, runner, GaussianLikelihood(), _make_target(),
+            max_tree_depth=6,
+        )
+        chain = sampler.run(n_iterations=250, n_chains=4, warmup=150, seed=5)
+        flat = chain.flat_samples(discard=0)
+        assert flat.shape == (1000, 2)
+        assert np.all(np.isfinite(flat))
+        # lambda0 is tightly identified; eta more loosely (transient only)
+        assert flat[:, 0].mean() == pytest.approx(TRUE_LAMBDA, abs=0.1)
+        assert flat[:, 1].mean() == pytest.approx(TRUE_ETA, abs=0.3)
+        r_hat = chain.r_hat()
+        assert r_hat["lambda0"] < 1.2
+        assert r_hat["eta"] < 1.2
+
+    def test_rejects_host_runner(self):
+        runner = DefaultModelRunner(
+            ["lambda0"], ["Surface Temperature"],
+            lambda theta: _build(lambda0=float(theta[0])),
+        )
+        with pytest.raises(TypeError, match="CompiledModelRunner"):
+            NUTSSampler(
+                ParameterSet().add("lambda0", Uniform(0.5, 2.5)),
+                runner, GaussianLikelihood(), _make_target(),
+            )
+
+    def test_init_positions_validated(self, runner_1d):
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        sampler = NUTSSampler(
+            params, runner_1d, GaussianLikelihood(), _make_target()
+        )
+        with pytest.raises(ValueError, match="init_positions"):
+            sampler.run(
+                n_iterations=2, n_chains=4, warmup=1,
+                init_positions=np.ones((3, 1)),
+            )
