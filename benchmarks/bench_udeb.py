@@ -7,17 +7,18 @@ this measures the heaviest single component in the framework — monthly
 sub-stepped tridiagonal ocean solve with in-graph LAMCALC — vmapped over
 an ensemble.  Prints one JSON line.
 
-Measured history (TPU v5e, f32, 151-year scenario):
+Optimisation history (151-year scenario):
 
-- round 1: 2.4e8 member-years/s at 1k members (dispatch-bound measurement;
-  ``lax.linalg.tridiagonal_solve`` per hemisphere per month, and any run
-  with >= ~10k members faulted the TPU in the batched LU kernel that
-  ``jnp.linalg.inv`` used inside the in-graph LAMCALC loop)
-- round 2: 1.15e9 at 10k members / 1.50e9 at 100k members (6.3x) after
-  (i) merging both hemispheres into one batched Thomas sweep
-  (``thomas_solve_batched``), (ii) replacing the LAMCALC matrix inversion
-  with the closed-form elementwise cofactor expansion
-  (``invert_4x4_traced``), which also removed the >=10k fault.
+- round 1: ``lax.linalg.tridiagonal_solve`` per hemisphere per month; any
+  run with >= ~10k members faulted the TPU in the batched LU kernel that
+  ``jnp.linalg.inv`` used inside the in-graph LAMCALC loop.
+- round 2: (i) both hemispheres merged into one batched Thomas sweep
+  (``thomas_solve_batched``), (ii) the LAMCALC matrix inversion replaced
+  with the closed-form cofactor expansion (``invert_4x4_traced``), which
+  also removed the >= 10k fault.  (Early round-2 throughput claims made
+  with ``jax.block_until_ready`` were dispatch-time artifacts — on the
+  tunneled TPU platform it returns before execution completes; timing now
+  materializes a scalar output element, which cannot complete early.)
 
 Usage:  python benchmarks/bench_udeb.py [n_members] [n_years]
 """
@@ -92,18 +93,23 @@ def main():
         }
     )
 
+    def sync(out):
+        # forces real completion (block_until_ready returns early on axon)
+        np.asarray(out["Sea Surface Temperature"][0, 0, 0])
+
     t_compile0 = time.perf_counter()
     out = runner.run(params=params, out_vars=["Sea Surface Temperature"])
-    jax.block_until_ready(out)
+    sync(out)
     compile_s = time.perf_counter() - t_compile0
 
     times = []
-    for _ in range(3):
+    for _ in range(10):
         t0 = time.perf_counter()
         out = runner.run(params=params, out_vars=["Sea Surface Temperature"])
-        jax.block_until_ready(out)
+        sync(out)
         times.append(time.perf_counter() - t0)
-    best = min(times)
+    times.sort()
+    best = times[len(times) // 2]
 
     ssts = np.asarray(out["Sea Surface Temperature"])[:, -1, 0]
     result = {

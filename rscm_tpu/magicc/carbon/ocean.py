@@ -168,8 +168,10 @@ class OceanCarbon(Component):
 
     def irf_table(self) -> np.ndarray:
         """Static monthly IRF table: irf(k/12) for k = 0..max_history-1."""
-        months = np.arange(self.max_history_months)
-        return np.asarray([self.irf(k / 12.0) for k in months])
+        if getattr(self, "_irf_cache", None) is None:
+            months = np.arange(self.max_history_months)
+            self._irf_cache = np.asarray([self.irf(k / 12.0) for k in months])
+        return self._irf_cache
 
     def delta_pco2_from_dic(self, delta_dic):
         dic_powers = (
@@ -215,28 +217,90 @@ class OceanCarbon(Component):
 
     # -- main step (ocean.rs:85-125) -------------------------------------------
 
+    def _old_history_weights(self) -> np.ndarray:
+        """Static ``(N, steps)`` weight matrix for the old-history part.
+
+        Newest-first buffer: slot ``p`` is ``p+m`` months old at this
+        year's month ``m`` (1-based), so ``W[p, m-1] = irf((p+m)/12)``;
+        ages beyond the window land in the zero pad — exactly the entries
+        the rolled buffer would have dropped.
+        """
+        if getattr(self, "_w_cache", None) is None:
+            steps = int(self.steps_per_year)
+            gpad = np.concatenate([self.irf_table(), np.zeros(steps)])
+            p = np.arange(self.max_history_months)
+            m = np.arange(1, steps + 1)
+            self._w_cache = gpad[p[:, None] + m[None, :]]
+        return self._w_cache
+
     def solve_ocean(self, flux_history, co2_atm, delta_sst, pco2_initial,
                     cumulative_initial, dt):
+        """One yearly update of the IRF-convolved ocean uptake.
+
+        The naive formulation (roll + full-length dot every month) reads
+        the whole ``(B, N)`` history 12 times a year — at 10k members and
+        N = 6000 that is ~3 TB of HBM traffic over a 550-year run, which
+        dominated the full-MAGICC ensemble cost.  This year's fluxes only
+        interact with the old history additively, so the old-history
+        contribution to all 12 months is precomputed as ONE
+        ``(N,) · (N, steps)`` product (a static weight matrix; the product
+        batches over ensemble members onto the MXU), the sequential
+        monthly loop touches only the ≤ 12 new fluxes, and the buffer is
+        shifted once per year instead of every month.  Arithmetic is
+        identical to the monthly-rolled formulation up to summation order.
+        """
         steps = int(self.steps_per_year)
         dt_month = dt / steps
-        irf_table = self.irf_table()
+        irf_np = self.irf_table()
         dic_factor = self.dic_conversion_factor()
+
+        traced = xm._is_traced(flux_history, co2_atm, delta_sst, pco2_initial)
+        if traced:
+            import jax.numpy as jnp
+
+            flux_history = jnp.asarray(flux_history)
+            dtype = flux_history.dtype
+            weights = jnp.asarray(self._old_history_weights(), dtype=dtype)
+            g_new = jnp.asarray(irf_np[:steps], dtype=dtype)
+        else:
+            flux_history = np.asarray(flux_history, dtype=np.float64)
+            weights = self._old_history_weights()
+            g_new = irf_np[:steps]
+
+        old_contrib = xm.dot(flux_history, weights)  # (steps,) per member
 
         pco2_ocn = pco2_initial
         cumulative = cumulative_initial
         total_flux_gtc = 0.0
-
-        for _ in range(steps):
+        new_fluxes = []
+        for m in range(1, steps + 1):
             flux_ppm = self.calculate_flux(co2_atm, pco2_ocn)
-            flux_history = xm.push_front(flux_history, flux_ppm)
+            new_fluxes.append(flux_ppm)
 
             flux_gtc_yr = flux_ppm * 12.0 * PPM_TO_GTC
             total_flux_gtc = total_flux_gtc + flux_gtc_yr / steps
             cumulative = cumulative + flux_gtc_yr * dt_month
 
-            delta_dic = xm.dot(flux_history, irf_table) * dic_factor
+            new_part = 0.0
+            for j, flux_j in enumerate(new_fluxes, start=1):
+                new_part = new_part + flux_j * g_new[m - j]
+            delta_dic = (new_part + old_contrib[m - 1]) * dic_factor
             delta_pco2_dic = self.delta_pco2_from_dic(delta_dic)
             pco2_ocn = self.ocean_pco2_value(delta_pco2_dic, delta_sst)
+
+        # newest-first: this year's months (newest leftmost), then the old
+        # history with its oldest `steps` entries dropped
+        if traced:
+            import jax.numpy as jnp
+
+            new_block = jnp.stack(
+                [jnp.asarray(f, dtype=flux_history.dtype) for f in reversed(new_fluxes)]
+            )
+            flux_history = jnp.concatenate([new_block, flux_history[:-steps]])
+        else:
+            flux_history = np.concatenate(
+                [[float(f) for f in reversed(new_fluxes)], flux_history[:-steps]]
+            )
 
         return flux_history, pco2_ocn, cumulative, total_flux_gtc
 
