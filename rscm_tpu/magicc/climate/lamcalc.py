@@ -210,7 +210,19 @@ def lamcalc_traced(params: LamcalcParams, ecs, fallback):
         C(0.0),
         jnp.zeros((4, 4), wdt),
     )
-    out = lax.fori_loop(0, MAX_ITERATIONS - 1, body, init)
+    # while_loop with early exit: converged members are frozen by the body,
+    # so stopping once every (vmapped) member has converged is result-
+    # identical to running all MAX_ITERATIONS - 1 steps; typical secant
+    # convergence is ~10 iterations, so this cuts the serial chain ~3x.
+    def while_cond(state):
+        i, carry = state
+        return (i < MAX_ITERATIONS - 1) & ~carry[7]
+
+    def while_body(state):
+        i, carry = state
+        return i + 1, body(i, carry)
+
+    _, out = lax.while_loop(while_cond, while_body, (jnp.asarray(0), init))
     found = out[7]
     lam_o = jnp.where(found, out[8], C(fallback[0]))
     lam_l = jnp.where(found, out[9], C(fallback[1]))

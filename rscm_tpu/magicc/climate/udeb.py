@@ -126,6 +126,12 @@ class ClimateUDEB(Component):
     ocean_temp_profile = Parameter(default="CMIP5", static=True)  # "CMIP5" | "Analytical"
     steps_per_year = Parameter(default=12, static=True)
     max_temperature = Parameter(default=25.0, unit="K")
+    #: tridiagonal solver for the traced monthly column update:
+    #: "sequential" (Thomas sweep unrolled over layers — bit-matches the
+    #: host path and measured fastest on TPU at 50 layers) or "assoc"
+    #: (associative-scan solve, depth ~log N, ~1e-12-relative agreement;
+    #: for much deeper columns)
+    tridiag_solver = Parameter(default="sequential", static=True)
     #: gate for the in-graph LAMCALC on the traced path; with False the
     #: compiled program reuses the build-time lambdas (exact when the ECS
     #: feedback sensitivities are zero; a documented approximation
@@ -466,7 +472,11 @@ class ClimateUDEB(Component):
         import jax.numpy as jnp
         from jax import lax
 
-        from rscm_tpu.utils import thomas_solve, thomas_solve_batched
+        from rscm_tpu.utils import (  # noqa: F401
+            thomas_solve,
+            thomas_solve_assoc,
+            thomas_solve_batched,
+        )
 
         from .lamcalc import lamcalc_traced
 
@@ -712,7 +722,10 @@ class ClimateUDEB(Component):
             # over the 50 static layers — a chain of fused elementwise vector
             # ops over (hemisphere, member).  lax.linalg.tridiagonal_solve
             # measured slower here and faults on TPU at batch >= ~10k.
-            solution = thomas_solve_batched(a_vec, b_vec, c_vec, d_vec)
+            if self.tridiag_solver == "assoc":
+                solution = thomas_solve_assoc(a_vec, b_vec, c_vec, d_vec)
+            else:
+                solution = thomas_solve_batched(a_vec, b_vec, c_vec, d_vec)
             return jnp.minimum(solution, self.max_temperature)
 
         def month_step(carry, frac):

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["thomas_solve", "thomas_solve_batched", "invert_4x4"]
+__all__ = ["thomas_solve", "thomas_solve_batched", "thomas_solve_assoc", "invert_4x4"]
 
 
 def _is_traced(*xs) -> bool:
@@ -195,3 +195,90 @@ def invert_4x4(m):
             if row != col:
                 aug[row] -= aug[row, col] * aug[col]
     return aug[:, 4:].copy()
+
+
+def thomas_solve_assoc(a, b, c, d):
+    """Log-depth tridiagonal solve via ``lax.associative_scan``.
+
+    Same system convention as :func:`thomas_solve_batched` (trailing axis
+    is the layer axis, leading axes batch).  The sequential sweeps have
+    serial depth ~3N; here each becomes an associative scan of depth
+    ~log2(N):
+
+    - the ``c'`` recurrence ``c'_i = c_i / (b_i - a_i c'_{i-1})`` is a
+      Moebius transform of ``c'_{i-1}``, so prefixes compose as 2x2 matrix
+      products (normalised by their max-|entry| each combine — a Moebius
+      transform is scale-invariant, and the rescale keeps f32 products of
+      ~50 matrices from over/underflowing);
+    - given ``c'``, the ``d'`` forward recurrence and the back-substitution
+      are affine recurrences ``y_i = u_i + v_i y_{i±1}``, composed as
+      ``(u, v)`` pairs.
+
+    Results agree with the sequential sweep to ~1e-12 relative (f64) on
+    diagonally dominant systems.  Measured on the 50-layer UDEB columns
+    (TPU v5e): the unrolled sequential sweep is FASTER (0.69 s vs 2.19 s
+    for the 10k-member MAGICC ensemble) — XLA fuses the elementwise sweep
+    into a handful of kernels, while the Moebius composition triples the
+    arithmetic and the scan's gather structure defeats fusion.  Kept as a
+    documented alternative for much deeper tridiagonal systems, where the
+    O(log N) depth eventually wins.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    c = jnp.asarray(c)
+    d = jnp.asarray(d)
+
+    # -- c' via Moebius composition -----------------------------------------
+    # elementwise matrices M_i = [[0, c_i], [-a_i, b_i]] (a_0 forced to 0)
+    a0 = a.at[..., 0].set(0.0) if hasattr(a, "at") else a
+    zeros = jnp.zeros_like(b)
+    m00, m01 = zeros, c
+    m10, m11 = -a0, b
+
+    def moebius_combine(p, q):
+        # apply q after p: Q @ P, renormalised
+        p00, p01, p10, p11 = p
+        q00, q01, q10, q11 = q
+        r00 = q00 * p00 + q01 * p10
+        r01 = q00 * p01 + q01 * p11
+        r10 = q10 * p00 + q11 * p10
+        r11 = q10 * p01 + q11 * p11
+        scale = jnp.maximum(
+            jnp.maximum(jnp.abs(r00), jnp.abs(r01)),
+            jnp.maximum(jnp.abs(r10), jnp.abs(r11)),
+        )
+        scale = jnp.where(scale > 0, scale, 1.0)
+        return (r00 / scale, r01 / scale, r10 / scale, r11 / scale)
+
+    p00, p01, p10, p11 = lax.associative_scan(
+        moebius_combine, (m00, m01, m10, m11), axis=-1
+    )
+    # c'_i = Moebius(P_i)(c'_0 = 0) = P[0,1] / P[1,1]
+    c_prime = p01 / p11
+
+    # -- d' via affine composition ------------------------------------------
+    c_prev = jnp.concatenate(
+        [jnp.zeros_like(c_prime[..., :1]), c_prime[..., :-1]], axis=-1
+    )
+    w = b - a0 * c_prev  # the same denominators the sweep would use
+    u = d / w
+    v = -a0 / w  # v_0 = 0: d'_0 = d_0 / b_0 exactly
+
+    def affine_combine(p, q):
+        pu, pv = p
+        qu, qv = q
+        return (qu + qv * pu, qv * pv)
+
+    d_prime, _ = lax.associative_scan(affine_combine, (u, v), axis=-1)
+
+    # -- back substitution (affine, reversed) --------------------------------
+    ub = d_prime[..., ::-1]
+    vb = jnp.concatenate(
+        [jnp.zeros_like(c_prime[..., :1]), -c_prime[..., ::-1][..., 1:]],
+        axis=-1,
+    )
+    xb, _ = lax.associative_scan(affine_combine, (ub, vb), axis=-1)
+    return xb[..., ::-1]

@@ -62,6 +62,26 @@ def test_traced_matches_host(params):
     )
 
 
+def test_assoc_tridiag_matches_sequential():
+    """The log-depth associative-scan tridiagonal solver must agree with
+    the sequential Thomas sweep through a full 90-year UDEB run (f64:
+    sub-1e-9 drift even with the nonlinear feedbacks compounding)."""
+    years = np.arange(1850.0, 1940.0)
+    erf = np.where(years >= 1851.0, 3.71, 0.0)
+
+    seq = build_model(years, erf)
+    seq.run(compiled=True)
+    assoc = build_model(years, erf, tridiag_solver="assoc")
+    assoc.run(compiled=True)
+
+    for name in ["Sea Surface Temperature", "Heat Uptake", "Ocean Heat Content"]:
+        np.testing.assert_allclose(
+            np.asarray(seq.collection.get_data(name).values()),
+            np.asarray(assoc.collection.get_data(name).values()),
+            rtol=1e-8, atol=1e-8, err_msg=name,
+        )
+
+
 def test_udeb_ensemble_vmaps():
     """A UDEB parameter ensemble runs as one vmapped program."""
     from rscm_tpu.parallel import EnsembleRunner
