@@ -158,7 +158,7 @@ class NUTSSampler:
 
     # -- one NUTS transition (pure, per chain) -------------------------------
 
-    def _build_step(self, inv_mass, logp_fn):
+    def _build_step(self, n_params, logp_fn):
         import jax
         import jax.numpy as jnp
         import jax.random as jr
@@ -168,19 +168,19 @@ class NUTSSampler:
         n_leaves = 1 << max_depth
         buf_size = 2 * n_leaves  # signed positions -n_leaves..n_leaves-1
         origin = n_leaves
-        inv_mass = jnp.asarray(inv_mass)
-        D = inv_mass.shape[0]
-
-        def kinetic(p):
-            return 0.5 * jnp.sum(p * p * inv_mass)
+        D = int(n_params)
 
         def safe_grad(q):
             logp, grad = value_and_grad(q)
             grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
             return logp, grad
 
-        # positions in the buffer: signed leapfrog index + origin
-        def step(q0, logp0, grad0, eps, key):
+        # positions in the buffer: signed leapfrog index + origin;
+        # inv_mass is traced (adapted during warmup)
+        def step(q0, logp0, grad0, eps, inv_mass, key):
+            def kinetic(p):
+                return 0.5 * jnp.sum(p * p * inv_mass)
+
             key, k_mom = jr.split(key)
             p0 = jr.normal(k_mom, (D,)) / jnp.sqrt(inv_mass)
             h0 = logp0 - kinetic(p0)  # log joint at the start
@@ -404,28 +404,61 @@ class NUTSSampler:
             theta, logj = to_theta(x)
             return base_logp(theta) + logj
 
-        # diagonal mass matrix from the prior scale (in x-space)
+        # initial diagonal mass matrix from the prior scale (in x-space);
+        # refined mid-warmup from the chain's own samples (Welford window)
         prior_draws = self.params.sample_random(256, rng)
         x_draws = np.asarray(jax.vmap(to_x)(jnp.asarray(prior_draws)))
-        mass = np.maximum(np.var(x_draws, axis=0), 1e-12)
-        inv_mass = jnp.asarray(1.0 / mass)
+        prior_mass = np.maximum(np.var(x_draws, axis=0), 1e-12)
+        inv_mass0 = jnp.asarray(1.0 / prior_mass)
 
-        step = self._build_step(inv_mass, logp_x)
+        step = self._build_step(D, logp_x)
 
         # dual averaging constants (Hoffman & Gelman 2014)
         gamma, t0, kappa = 0.05, 10.0, 0.75
-        mu = jnp.log(10.0 * step_size)
         target = self.target_accept
         total_iters = warmup + n_iterations
+        # Welford window for mass adaptation: [25%, 75%) of warmup, with
+        # the mass switched (and dual averaging restarted) at 75%
+        w_lo = int(warmup * 0.25)
+        w_hi = int(warmup * 0.75)
+        adapt_mass = (w_hi - w_lo) >= max(10, 2 * D)
 
         def chain_step(carry, it_key):
             it, key = it_key
-            (q, logp, grad, log_eps, log_eps_bar, h_bar, n_lf, n_div) = carry
+            (q, logp, grad, log_eps, log_eps_bar, h_bar, mu, da_m,
+             inv_mass, w_count, w_mean, w_m2, n_lf, n_div) = carry
             eps = jnp.exp(log_eps)
-            q, logp, grad, accept_stat, lf, diverged = step(q, logp, grad, eps, key)
+            q, logp, grad, accept_stat, lf, diverged = step(
+                q, logp, grad, eps, inv_mass, key
+            )
+
+            # Welford accumulation of x-space samples inside the window
+            if adapt_mass:
+                collect = (it >= w_lo) & (it < w_hi)
+                cnt = w_count + collect
+                delta = q - w_mean
+                w_mean = w_mean + jnp.where(
+                    collect, delta / jnp.maximum(cnt, 1), 0.0
+                )
+                w_m2 = w_m2 + jnp.where(collect, delta * (q - w_mean), 0.0)
+                w_count = cnt
+
+                # switch: mass <- regularised sample variance (Stan-style
+                # shrinkage toward the prior mass), dual averaging restarts
+                at_switch = it == w_hi
+                n = jnp.maximum(w_count - 1, 1).astype(w_m2.dtype)
+                var = w_m2 / n
+                shrink = n / (n + 5.0)
+                var_reg = shrink * var + (1.0 - shrink) * (1.0 / inv_mass)
+                new_inv_mass = 1.0 / jnp.maximum(var_reg, 1e-12)
+                inv_mass = jnp.where(at_switch, new_inv_mass, inv_mass)
+                mu = jnp.where(at_switch, jnp.log(10.0) + log_eps, mu)
+                h_bar = jnp.where(at_switch, 0.0, h_bar)
+                da_m = jnp.where(at_switch, 0, da_m)
 
             # dual averaging (active during warmup only)
-            m = it + 1.0
+            da_m = da_m + 1
+            m = da_m.astype(log_eps.dtype)
             eta = 1.0 / (m + t0)
             h_new = (1.0 - eta) * h_bar + eta * (target - accept_stat)
             log_eps_da = mu - jnp.sqrt(m) / gamma * h_new
@@ -438,7 +471,8 @@ class NUTSSampler:
             h_bar = jnp.where(in_warmup, h_new, h_bar)
             n_div = n_div + jnp.where(in_warmup, 0, diverged.astype(jnp.int32))
 
-            carry = (q, logp, grad, log_eps, log_eps_bar, h_bar, n_lf + lf, n_div)
+            carry = (q, logp, grad, log_eps, log_eps_bar, h_bar, mu, da_m,
+                     inv_mass, w_count, w_mean, w_m2, n_lf + lf, n_div)
             return carry, (q, logp)
 
         vmapped = jax.vmap(chain_step, in_axes=(0, (None, 0)))
@@ -455,6 +489,12 @@ class NUTSSampler:
                 jnp.full((n_chains,), jnp.log(step_size)),
                 jnp.full((n_chains,), jnp.log(step_size)),
                 jnp.zeros(n_chains),
+                jnp.full((n_chains,), jnp.log(10.0 * step_size)),
+                jnp.zeros(n_chains, jnp.int32),
+                jnp.broadcast_to(inv_mass0, (n_chains, D)),
+                jnp.zeros(n_chains, jnp.int32),
+                jnp.zeros((n_chains, D)),
+                jnp.zeros((n_chains, D)),
                 jnp.zeros(n_chains, jnp.int32),
                 jnp.zeros(n_chains, jnp.int32),
             )
@@ -473,9 +513,11 @@ class NUTSSampler:
         qs = np.asarray(qs[warmup:])          # (n_iterations, n_chains, D)
         logps = np.asarray(logps[warmup:])
         self.last_diagnostics = {
-            "n_model_evals": int(np.sum(np.asarray(carry[6]))),
-            "n_divergences": int(np.sum(np.asarray(carry[7]))),
+            "n_model_evals": int(np.sum(np.asarray(carry[12]))),
+            "n_divergences": int(np.sum(np.asarray(carry[13]))),
             "step_sizes": np.exp(np.asarray(carry[3])).tolist(),
+            "inv_mass": np.asarray(carry[8]).tolist(),
+            "mass_adapted": bool(adapt_mass),
             "warmup": warmup,
             "n_chains": n_chains,
         }

@@ -145,12 +145,17 @@ class TestNUTS:
         flat = chain.flat_samples(discard=0)
         assert flat.shape == (1000, 2)
         assert np.all(np.isfinite(flat))
-        # lambda0 is tightly identified; eta more loosely (transient only)
+        # lambda0 is tightly identified; eta more loosely (transient only).
+        # The strongly correlated ridge (rho ~ -0.93) is handled by the
+        # warmup mass adaptation; before it, chains at this budget sat at
+        # R-hat > 4 with step sizes collapsed at the prior boundary.
         assert flat[:, 0].mean() == pytest.approx(TRUE_LAMBDA, abs=0.1)
         assert flat[:, 1].mean() == pytest.approx(TRUE_ETA, abs=0.3)
         r_hat = chain.r_hat()
-        assert r_hat["lambda0"] < 1.2
-        assert r_hat["eta"] < 1.2
+        assert r_hat["lambda0"] < 1.1
+        assert r_hat["eta"] < 1.1
+        assert sampler.last_diagnostics["mass_adapted"]
+        assert sampler.last_diagnostics["n_divergences"] == 0
 
     def test_rejects_host_runner(self):
         runner = DefaultModelRunner(
