@@ -20,7 +20,12 @@ from .distribution import Bound, Distribution, LogNormal, Normal, Uniform
 from .parameter_set import ParameterSet
 from .target import Observation, Target, VariableTarget
 from .likelihood import GaussianLikelihood, LikelihoodFn, ModelOutput, VariableOutput
-from .model_runner import CompiledModelRunner, DefaultModelRunner, ModelRunner
+from .model_runner import (
+    CompiledModelRunner,
+    DefaultModelRunner,
+    ModelRunner,
+    SensitivityAnalyzer,
+)
 from .chain import Chain
 from .sampler import EnsembleSampler, ProgressInfo, SamplerState, StretchMove, WalkerInit
 from .nuts import NUTSSampler
@@ -77,6 +82,7 @@ __all__ = [
     "ProgressInfo",
     "RandomSearch",
     "SamplerState",
+    "SensitivityAnalyzer",
     "StretchMove",
     "Target",
     "Uniform",

@@ -23,7 +23,7 @@ import numpy as np
 
 from .likelihood import ModelOutput, VariableOutput
 
-__all__ = ["ModelRunner", "DefaultModelRunner", "CompiledModelRunner"]
+__all__ = ["ModelRunner", "DefaultModelRunner", "CompiledModelRunner", "SensitivityAnalyzer"]
 
 
 class ModelRunner:
@@ -234,3 +234,59 @@ class CompiledModelRunner(ModelRunner):
                 output.add_variable(var_output)
             outputs.append(output)
         return outputs
+
+
+class SensitivityAnalyzer:
+    """Exact parameter sensitivities through the compiled model.
+
+    A capability the reference cannot offer (its models are not
+    differentiable, so sensitivity studies there mean finite-difference
+    ensembles): here ``d output(t) / d theta_j`` comes from one
+    reverse/forward-mode pass through the whole traced program, at machine
+    precision and a small constant factor over a forward run.
+
+    Built on :class:`CompiledModelRunner`'s pure ``theta -> trajectories``
+    core; results are plain numpy.
+    """
+
+    def __init__(self, runner: CompiledModelRunner):
+        if not isinstance(runner, CompiledModelRunner):
+            raise TypeError("SensitivityAnalyzer requires a CompiledModelRunner")
+        self.runner = runner
+        self._jac = None
+
+    def jacobian(self, theta) -> Dict[str, np.ndarray]:
+        """``{var: (n_steps, n_regions, D)}`` — d trajectory / d theta.
+
+        Forward-mode (``jacfwd``): D is small, trajectories are long, so
+        one JVP per parameter beats reverse mode's per-output VJPs.
+        """
+        import jax
+
+        if self._jac is None:
+            self._jac = jax.jit(jax.jacfwd(self.runner.trajectories_fn()))
+        theta = np.asarray(theta, dtype=self.runner.program.dtype)
+        return {
+            name: np.asarray(v) for name, v in self._jac(theta).items()
+        }
+
+    def elasticities(self, theta) -> Dict[str, np.ndarray]:
+        """Dimensionless sensitivities ``(theta_j / y(t)) * dy/dtheta_j``.
+
+        Comparable across parameters and variables; entries where the
+        trajectory is ~0 are returned as NaN rather than blowing up.
+        """
+        theta = np.asarray(theta, dtype=np.float64)
+        jac = self.jacobian(theta)
+        fn = self.runner.trajectories_fn()
+        import jax
+
+        base = jax.jit(fn)(theta.astype(self.runner.program.dtype))
+        out = {}
+        for name, j in jac.items():
+            y = np.asarray(base[name])[..., None]  # (n_steps, g, 1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                e = j * theta[None, None, :] / y
+            e[np.broadcast_to(np.abs(y) < 1e-30, e.shape)] = np.nan
+            out[name] = e
+        return out
