@@ -33,6 +33,7 @@ compiled on device, like the stretch sampler's device engine.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
@@ -369,6 +370,7 @@ class NUTSSampler:
         seed: Optional[int] = None,
         init_positions: Optional[np.ndarray] = None,
         step_size: float = 0.1,
+        mesh=None,
     ) -> Chain:
         """Sample ``n_iterations`` post-warmup draws per chain.
 
@@ -376,6 +378,11 @@ class NUTSSampler:
         ``target_accept``; warmup draws are not pushed to the chain.
         Diagnostics (divergences, leapfrog/model-evaluation counts, final
         step sizes) land in :attr:`last_diagnostics`.
+
+        ``mesh`` shards the chain axis over a 1-D ``jax.sharding.Mesh``:
+        chains are independent, so each device runs its share with no
+        cross-device communication (``n_chains`` must divide the device
+        count evenly).
         """
         import jax
         import jax.numpy as jnp
@@ -477,7 +484,25 @@ class NUTSSampler:
 
         vmapped = jax.vmap(chain_step, in_axes=(0, (None, 0)))
 
-        @jax.jit
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if n_chains % int(mesh.devices.size) != 0:
+                raise ValueError(
+                    f"mesh-sharded NUTS needs n_chains divisible by the "
+                    f"device count ({int(mesh.devices.size)}), got {n_chains}"
+                )
+            axis = mesh.axis_names[0]
+            jit_kwargs = dict(
+                in_shardings=(
+                    NamedSharding(mesh, P(axis, None)),        # x0 (chains, D)
+                    NamedSharding(mesh, P(None, axis, None)),  # keys
+                )
+            )
+        else:
+            jit_kwargs = {}
+
+        @functools.partial(jax.jit, **jit_kwargs)
         def run_all(x0, keys):
             def scan_body(carry, x):
                 return vmapped(carry, x)

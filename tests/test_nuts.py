@@ -157,6 +157,63 @@ class TestNUTS:
         assert sampler.last_diagnostics["mass_adapted"]
         assert sampler.last_diagnostics["n_divergences"] == 0
 
+    def test_mesh_sharded_chains_sample_same_posterior(self, runner_1d):
+        """Chains shard over the mesh with no cross-device communication.
+
+        Bitwise equality with the unsharded run is NOT expected — sharded
+        compilation changes op fusion by an ulp and Hamiltonian dynamics
+        plus discrete tree choices amplify that chaotically — so the
+        contract is statistical: the sharded run samples the same
+        posterior.
+        """
+        import jax
+
+        from rscm_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple (virtual) devices")
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        target = _make_target()
+        n_chains = len(jax.devices())
+
+        def run(mesh):
+            sampler = NUTSSampler(
+                params, runner_1d, GaussianLikelihood(), target,
+                max_tree_depth=6,
+            )
+            return sampler.run(
+                n_iterations=150, n_chains=n_chains, warmup=100, seed=13,
+                mesh=mesh,
+            )
+
+        plain = run(None).flat_samples()
+        sharded = run(make_mesh()).flat_samples()
+        assert sharded.shape == (150 * n_chains, 1)
+        assert np.all(np.isfinite(sharded))
+        assert sharded[:, 0].mean() == pytest.approx(
+            plain[:, 0].mean(), abs=0.02
+        )
+        assert sharded[:, 0].std() == pytest.approx(
+            plain[:, 0].std(), rel=0.5
+        )
+
+    def test_mesh_rejects_indivisible_chains(self, runner_1d):
+        import jax
+
+        from rscm_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple (virtual) devices")
+        sampler = NUTSSampler(
+            ParameterSet().add("lambda0", Uniform(0.5, 2.5)),
+            runner_1d, GaussianLikelihood(), _make_target(),
+        )
+        with pytest.raises(ValueError, match="divisible"):
+            sampler.run(
+                n_iterations=2, n_chains=len(jax.devices()) + 1,
+                warmup=2, seed=1, mesh=make_mesh(),
+            )
+
     def test_rejects_host_runner(self):
         runner = DefaultModelRunner(
             ["lambda0"], ["Surface Temperature"],
