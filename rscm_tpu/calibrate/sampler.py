@@ -437,6 +437,15 @@ class EnsembleSampler:
         half = n_walkers // 2
         a = self.stretch.a
 
+        # one jitted scan per (shape, mesh) configuration, cached across
+        # run() calls — a fresh closure each call would retrace every time
+        cache_key = (
+            n_walkers, n_params, str(np.dtype(dtype)), a,
+            mesh.axis_names if mesh is not None else None,
+        )
+        if not hasattr(self, "_scan_cache"):
+            self._scan_cache = {}
+
         batched_log_prob = jax.vmap(log_prob)
 
         def half_step(carry, active_slice, comp_slice, key):
@@ -487,24 +496,26 @@ class EnsembleSampler:
                 iteration_step, (positions, log_probs, n_accepted), keys
             )
 
-        if mesh is not None:
+        if mesh is not None and n_walkers % (2 * mesh.devices.size) != 0:
+            raise ValueError(
+                f"mesh-sharded device engine needs n_walkers divisible by "
+                f"2 x n_devices (= {2 * mesh.devices.size}), got {n_walkers}"
+            )
+        if cache_key in self._scan_cache:
+            run_scan = self._scan_cache[cache_key]
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            if n_walkers % (2 * mesh.devices.size) != 0:
-                raise ValueError(
-                    f"mesh-sharded device engine needs n_walkers divisible by "
-                    f"2 x n_devices (= {2 * mesh.devices.size}), got {n_walkers}"
-                )
             axis = mesh.axis_names[0]
             walkers = NamedSharding(mesh, P(axis))
             walkers_2d = NamedSharding(mesh, P(axis, None))
             replicated = NamedSharding(mesh, P())
-            run_scan = jax.jit(
+            run_scan = self._scan_cache[cache_key] = jax.jit(
                 _scan,
                 in_shardings=(walkers_2d, walkers, walkers, replicated),
             )
         else:
-            run_scan = jax.jit(_scan)
+            run_scan = self._scan_cache[cache_key] = jax.jit(_scan)
 
         positions = jnp.asarray(state.positions, dtype=dtype)
         if state.iteration == 0 or not np.all(np.isfinite(state.log_probs)):
