@@ -210,6 +210,30 @@ def bench_magicc(extra):
     )
     extra["magicc_single_550yr_wall_s"] = med
 
+    # the Pallas month-engine (rscm_tpu/ops/udeb_month.py): whole year of
+    # monthly UDEB sub-steps in VMEM — the production fast path at scale
+    try:
+        model = build_magicc_model(udeb_params={"month_engine": "pallas"})
+        runner = EnsembleRunner(model)
+        rng = np.random.default_rng(3)
+        n_members = 100_000
+        params = runner.batched_params(
+            {
+                "ClimateUDEB.ecs": rng.uniform(1.8, 5.5, n_members),
+                "ClimateUDEB.kappa": rng.uniform(0.4, 1.5, n_members),
+            }
+        )
+        med, best, out = _timed(
+            lambda: runner.run(params=params, out_vars=["Surface Temperature"])
+        )
+        n_years = len(model.time_axis)
+        extra["magicc_100k_pallas_wall_s"] = med
+        extra["magicc_100k_pallas_member_years_per_sec"] = (
+            n_members * (n_years - 1) / med
+        )
+    except Exception as exc:  # keep the headline bench alive on kernel issues
+        extra["magicc_100k_pallas_error"] = repr(exc)[:200]
+
 
 def bench_ssp_cross(extra):
     """10k members x 8 SSP-like scenarios, batched-exogenous cross product."""

@@ -126,6 +126,12 @@ class ClimateUDEB(Component):
     ocean_temp_profile = Parameter(default="CMIP5", static=True)  # "CMIP5" | "Analytical"
     steps_per_year = Parameter(default=12, static=True)
     max_temperature = Parameter(default=25.0, unit="K")
+    #: execution engine for the traced monthly sub-step loop: "xla"
+    #: (inner lax.scan, the default) or "pallas" (the whole year of
+    #: monthly sub-steps as one on-chip kernel, rscm_tpu/ops/udeb_month.py
+    #: - keeps every Thomas intermediate in VMEM; differentially tested
+    #: against the xla engine)
+    month_engine = Parameter(default="xla", static=True)
     #: tridiagonal solver for the traced monthly column update:
     #: "sequential" (Thomas sweep unrolled over layers — bit-matches the
     #: host path and measured fastest on TPU at 50 layers) or "assoc"
@@ -778,15 +784,54 @@ class ClimateUDEB(Component):
             )
             return (ocean_temps, land_temps, ground_temps, hemi_exchange, upwelling), None
 
-        fracs = C(np.arange(1, steps + 1) / steps)
-        carry = (
-            ocean_temps, land_temps, ground_temps,
-            jnp.asarray(state["hemi_heat_exchange"]),
-            jnp.asarray(state["upwelling_rates"]),
-        )
-        (ocean_temps, land_temps, ground_temps, hemi_exchange, upwelling), _ = lax.scan(
-            month_step, carry, fracs
-        )
+        hemi_exchange = jnp.asarray(state["hemi_heat_exchange"])
+        upwelling = jnp.asarray(state["upwelling_rates"])
+        if self.month_engine == "pallas":
+            from rscm_tpu.ops import udeb_year_update
+
+            # traced efficacy factor folded into the erf inputs (exactly
+            # apply_forcing's multiplicative scaling)
+            if self.efficacy_apply == 1:
+                eff_factor = C(self.prescribed_efficacy_co2)
+            elif self.efficacy_apply == 2:
+                ok = jnp.isfinite(co2_eff) & (co2_eff > 0)
+                eff_factor = jnp.where(
+                    ok,
+                    self.prescribed_efficacy_co2 / jnp.where(ok, co2_eff, 1.0),
+                    C(1.0),
+                )
+            else:
+                eff_factor = C(1.0)
+            scal = jnp.stack([
+                C(lam_o), C(lam_l), C(self.kappa), C(self.kappa_dkdt),
+                C(kappa_min), C(self.w_initial), C(self.w_variable_fraction),
+                C(self.k_lo), C(self.k_ns), C(self.k_lg),
+                C(self.amplify_ocean_to_land), C(pi_ratio),
+                C(self.temp_adjust_alpha), C(self.temp_adjust_gamma),
+                C(self.max_temperature),
+                C(c_ground), C(erf_start * eff_factor), C(erf_end * eff_factor),
+                C(state["polar_sinking_temp"]),
+                C(self.w_threshold_temp_nh), C(self.w_threshold_temp_sh),
+            ])
+            vec = jnp.concatenate([
+                land_temps, ground_temps, hemi_exchange, upwelling, alpha_eff,
+            ])
+            ocean_temps, vec_out = udeb_year_update(
+                self, dt_year, scal, ocean_temps, init_profiles, vec
+            )
+            land_temps = vec_out[0:2]
+            ground_temps = vec_out[2:4]
+            hemi_exchange = vec_out[4:6]
+            upwelling = vec_out[6:8]
+        else:
+            fracs = C(np.arange(1, steps + 1) / steps)
+            carry = (
+                ocean_temps, land_temps, ground_temps,
+                hemi_exchange, upwelling,
+            )
+            (
+                ocean_temps, land_temps, ground_temps, hemi_exchange, upwelling
+            ), _ = lax.scan(month_step, carry, fracs)
 
         sst_nh = ocean_temps[0, 0]
         sst_sh = ocean_temps[1, 0]

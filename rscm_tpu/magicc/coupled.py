@@ -115,7 +115,8 @@ def build_magicc_schema(emissions: dict) -> VariableSchema:
     return schema
 
 
-def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None):
+def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
+                       udeb_params: dict = None):
     """Build the ten-component emissions-driven MAGICC-style model."""
     from rscm_tpu.magicc import (
         AerosolDirect,
@@ -161,7 +162,7 @@ def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None):
         .with_component(OzoneForcing())
         .with_component(AerosolDirect())
         .with_component(AerosolIndirect())
-        .with_component(ClimateUDEB(ecs=ecs))
+        .with_component(ClimateUDEB(ecs=ecs, **(udeb_params or {})))
         .with_component(TerrestrialCarbon())
         .with_component(OceanCarbon())
         .with_component(CO2Budget())
