@@ -210,10 +210,12 @@ def bench_magicc(extra):
     )
     extra["magicc_single_550yr_wall_s"] = med
 
-    # the Pallas month-engine (rscm_tpu/ops/udeb_month.py): whole year of
-    # monthly UDEB sub-steps in VMEM — the production fast path at scale
+    # engine comparison: on TPU the default month_engine="auto" resolves
+    # to the Pallas kernel (rscm_tpu/ops/udeb_month.py) — the numbers
+    # above use it; this extra records the plain-XLA inner-scan engine so
+    # the kernel's contribution stays visible round over round
     try:
-        model = build_magicc_model(udeb_params={"month_engine": "pallas"})
+        model = build_magicc_model(udeb_params={"month_engine": "xla"})
         runner = EnsembleRunner(model)
         rng = np.random.default_rng(3)
         n_members = 100_000
@@ -227,12 +229,12 @@ def bench_magicc(extra):
             lambda: runner.run(params=params, out_vars=["Surface Temperature"])
         )
         n_years = len(model.time_axis)
-        extra["magicc_100k_pallas_wall_s"] = med
-        extra["magicc_100k_pallas_member_years_per_sec"] = (
+        extra["magicc_100k_xla_engine_wall_s"] = med
+        extra["magicc_100k_xla_engine_member_years_per_sec"] = (
             n_members * (n_years - 1) / med
         )
-    except Exception as exc:  # keep the headline bench alive on kernel issues
-        extra["magicc_100k_pallas_error"] = repr(exc)[:200]
+    except Exception as exc:  # keep the headline bench alive regardless
+        extra["magicc_100k_xla_engine_error"] = repr(exc)[:200]
 
 
 def bench_ssp_cross(extra):

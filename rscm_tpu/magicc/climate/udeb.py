@@ -126,12 +126,14 @@ class ClimateUDEB(Component):
     ocean_temp_profile = Parameter(default="CMIP5", static=True)  # "CMIP5" | "Analytical"
     steps_per_year = Parameter(default=12, static=True)
     max_temperature = Parameter(default=25.0, unit="K")
-    #: execution engine for the traced monthly sub-step loop: "xla"
-    #: (inner lax.scan, the default) or "pallas" (the whole year of
-    #: monthly sub-steps as one on-chip kernel, rscm_tpu/ops/udeb_month.py
-    #: - keeps every Thomas intermediate in VMEM; differentially tested
-    #: against the xla engine)
-    month_engine = Parameter(default="xla", static=True)
+    #: execution engine for the traced monthly sub-step loop:
+    #: "auto" (default: the Pallas kernel on TPU backends, the XLA inner
+    #: scan elsewhere), "xla" (inner lax.scan) or "pallas" (the whole
+    #: year of monthly sub-steps as one on-chip kernel,
+    #: rscm_tpu/ops/udeb_month.py — keeps every Thomas intermediate in
+    #: VMEM; differentially tested against the xla engine, 2x ensemble
+    #: throughput at 100k members)
+    month_engine = Parameter(default="auto", static=True)
     #: tridiagonal solver for the traced monthly column update:
     #: "sequential" (Thomas sweep unrolled over layers — bit-matches the
     #: host path and measured fastest on TPU at 50 layers) or "assoc"
@@ -786,7 +788,12 @@ class ClimateUDEB(Component):
 
         hemi_exchange = jnp.asarray(state["hemi_heat_exchange"])
         upwelling = jnp.asarray(state["upwelling_rates"])
-        if self.month_engine == "pallas":
+        month_engine = self.month_engine
+        if month_engine == "auto":
+            import jax
+
+            month_engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if month_engine == "pallas":
             from rscm_tpu.ops import udeb_year_update
 
             # traced efficacy factor folded into the erf inputs (exactly
