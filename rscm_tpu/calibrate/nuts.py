@@ -473,7 +473,14 @@ class NUTSSampler:
             log_eps_bar_da = w * log_eps_da + (1.0 - w) * log_eps_bar
 
             in_warmup = it < warmup
-            log_eps = jnp.where(in_warmup, log_eps_da, log_eps_bar)
+            # the last warmup iteration hands over the *averaged* step size
+            # so the first recorded draw never steps with the raw (still
+            # oscillating) dual-averaging iterate
+            log_eps = jnp.where(
+                it == warmup - 1,
+                log_eps_bar_da,
+                jnp.where(in_warmup, log_eps_da, log_eps_bar),
+            )
             log_eps_bar = jnp.where(in_warmup, log_eps_bar_da, log_eps_bar)
             h_bar = jnp.where(in_warmup, h_new, h_bar)
             n_div = n_div + jnp.where(in_warmup, 0, diverged.astype(jnp.int32))

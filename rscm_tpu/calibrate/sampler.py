@@ -439,10 +439,13 @@ class EnsembleSampler:
 
         # one jitted scan per (shape, mesh) configuration, cached across
         # run() calls — a fresh closure each call would retrace every time
-        cache_key = (
-            n_walkers, n_params, str(np.dtype(dtype)), a,
-            mesh.axis_names if mesh is not None else None,
-        )
+        mesh_key = None
+        if mesh is not None:
+            mesh_key = (
+                mesh.axis_names,
+                tuple(d.id for d in mesh.devices.flat),
+            )
+        cache_key = (n_walkers, n_params, str(np.dtype(dtype)), a, mesh_key)
         if not hasattr(self, "_scan_cache"):
             self._scan_cache = {}
 

@@ -84,4 +84,10 @@ def to_legacy_dict(config: Dict[str, Any]) -> Dict[str, Any]:
     found = (
         (key, _walk(config, path)) for key, path in LEGACY_MAPPING.items()
     )
-    return {key: value for key, value in found if value not in (_MISSING, None)}
+    # identity checks: `in (...)` would apply == element-wise to numpy
+    # array values and raise on truthiness
+    return {
+        key: value
+        for key, value in found
+        if value is not _MISSING and value is not None
+    }

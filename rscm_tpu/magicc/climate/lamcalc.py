@@ -94,51 +94,45 @@ def calc_internal_efficacy(q_2xco2, matrix_inverse, area, rf_regions, ecs) -> fl
     return t_global / ecs
 
 
-def lamcalc_traced(params: LamcalcParams, ecs, fallback):
-    """Traced LAMCALC: the same hybrid step/secant iteration as
-    :func:`lamcalc`, expressed branch-free over a fixed 40-iteration
-    ``lax.fori_loop`` with convergence freezing, so a time-varying
-    (traced) ECS can re-derive the feedback parameters inside the fused
-    step program.
+def _lamcalc_iter(static, ecs_, q_, k_lo_, k_ns_, rlo_, alpha_, *, fixed):
+    """The LAMCALC iteration with all inputs explicit (see lamcalc_traced).
 
-    ``fallback`` is ``(lambda_ocean, lambda_land, matrix_inverse,
-    co2_internal_efficacy)`` used when the iteration fails to converge
-    (mirror of the runtime ``unwrap_or`` in ``udeb/mod.rs:304-318``).
-    Returns the same 4-tuple with traced leaves.
+    ``static`` is a hashable bundle ``(fg, rf_regions, dtype_str,
+    fallback)`` — everything here is rebuilt from it, so this function
+    closes over nothing created inside an outer trace (a requirement for
+    the module-level ``custom_jvp`` wrapper below).
     """
     import jax.numpy as jnp
     from jax import lax
 
-    q = params.q_2xco2
-    lam = q / ecs
-    fgosum = params.fgno + params.fgso
-    fglsum = params.fgnl + params.fgsl
+    (fgno, fgnl, fgso, fgsl), rf_regions_t, dtype_str, fallback_t = static
+    wdt = jnp.dtype(dtype_str)
+    fgosum = fgno + fgso
+    fglsum = fgnl + fgsl
     fratio = fgosum / fglsum
-
-    # Working dtype follows the (possibly traced) ECS; constants are pinned
-    # to it so an f32 program is not promoted to f64 under x64 mode.
-    wdt = jnp.result_type(jnp.asarray(ecs))
 
     def C(x):
         return jnp.asarray(x, dtype=wdt)
 
-    area = C([params.fgno, params.fgnl, params.fgso, params.fgsl])
-    rf_regions = C(params.rf_regions_co2)
+    area = C([fgno, fgnl, fgso, fgsl])
+    rf_regions = C(rf_regions_t)
     rf_sum = jnp.dot(rf_regions, area)
-    qfrac = jnp.where(jnp.abs(rf_sum) <= 1e-15, jnp.ones(4, wdt), rf_regions / rf_sum)
-
-    k_lo = params.k_lo
-    k_ns = params.k_ns
-    alpha = params.amplify_ocean_to_land
+    qfrac = jnp.where(
+        jnp.abs(rf_sum) <= 1e-15, jnp.ones(4, wdt), rf_regions / rf_sum
+    )
+    fb = (
+        C(fallback_t[0]), C(fallback_t[1]), C(fallback_t[2]), C(fallback_t[3]),
+    )
+    lam = q_ / ecs_
 
     def coupling_matrix(lam_o, lam_l):
         return jnp.asarray(
             dtype=wdt,
             a=[
-                [params.fgno * lam_o + k_lo * alpha + k_ns, -k_lo, -k_ns, 0.0],
-                [-k_lo * alpha, params.fgnl * lam_l + k_lo, 0.0, 0.0],
-                [-k_ns, 0.0, params.fgso * lam_o + k_lo * alpha + k_ns, -k_lo],
-                [0.0, 0.0, -k_lo * alpha, params.fgsl * lam_l + k_lo],
+                [fgno * lam_o + k_lo_ * alpha_ + k_ns_, -k_lo_, -k_ns_, 0.0],
+                [-k_lo_ * alpha_, fgnl * lam_l + k_lo_, 0.0, 0.0],
+                [-k_ns_, 0.0, fgso * lam_o + k_lo_ * alpha_ + k_ns_, -k_lo_],
+                [0.0, 0.0, -k_lo_ * alpha_, fgsl * lam_l + k_lo_],
             ]
         )
 
@@ -146,14 +140,14 @@ def lamcalc_traced(params: LamcalcParams, ecs, fallback):
         (lamo_im2, lamo_im1, lamo_i, diff_im2, diff_im1, dlamo, iflag,
          found, best_lam_o, best_lam_l, best_inv) = carry
 
-        lam_l = lam + fratio * (lam - lamo_i) / params.rlo
+        lam_l = lam + fratio * (lam - lamo_i) / rlo_
         matrix = coupling_matrix(lamo_i, lam_l)
         inv = invert_4x4(matrix)
 
-        temps = q * (inv @ (area * qfrac))
-        ocean_mean = (params.fgno * temps[0] + params.fgso * temps[2]) / fgosum
-        land_mean = (params.fgnl * temps[1] + params.fgsl * temps[3]) / fglsum
-        diff_i = params.rlo - land_mean / ocean_mean
+        temps = q_ * (inv @ (area * qfrac))
+        ocean_mean = (fgno * temps[0] + fgso * temps[2]) / fgosum
+        land_mean = (fgnl * temps[1] + fgsl * temps[3]) / fglsum
+        diff_i = rlo_ - land_mean / ocean_mean
 
         converged_now = (jnp.abs(diff_i) < RLO_TOLERANCE) & ~found
         best_lam_o = jnp.where(converged_now, lamo_i, best_lam_o)
@@ -210,32 +204,118 @@ def lamcalc_traced(params: LamcalcParams, ecs, fallback):
         C(0.0),
         jnp.zeros((4, 4), wdt),
     )
-    # while_loop with early exit: converged members are frozen by the body,
-    # so stopping once every (vmapped) member has converged is result-
-    # identical to running all MAX_ITERATIONS - 1 steps; typical secant
-    # convergence is ~10 iterations, so this cuts the serial chain ~3x.
-    def while_cond(state):
-        i, carry = state
-        return (i < MAX_ITERATIONS - 1) & ~carry[7]
+    if fixed:
+        out = lax.fori_loop(0, MAX_ITERATIONS - 1, body, init)
+    else:
+        # while_loop with early exit: converged members are frozen by the
+        # body, so stopping once every (vmapped) member has converged is
+        # result-identical to all MAX_ITERATIONS - 1 steps; typical secant
+        # convergence is ~10 iterations (~3x less serial depth)
+        def while_cond(state):
+            i, carry = state
+            return (i < MAX_ITERATIONS - 1) & ~carry[7]
 
-    def while_body(state):
-        i, carry = state
-        return i + 1, body(i, carry)
+        def while_body(state):
+            i, carry = state
+            return i + 1, body(i, carry)
 
-    _, out = lax.while_loop(while_cond, while_body, (jnp.asarray(0), init))
+        _, out = lax.while_loop(while_cond, while_body, (jnp.asarray(0), init))
     found = out[7]
-    lam_o = jnp.where(found, out[8], C(fallback[0]))
-    lam_l = jnp.where(found, out[9], C(fallback[1]))
-    inv = jnp.where(found, out[10], C(fallback[2]))
+    lam_o = jnp.where(found, out[8], fb[0])
+    lam_l = jnp.where(found, out[9], fb[1])
+    inv = jnp.where(found, out[10], fb[2])
 
     # internal efficacy from the converged inverse (lamcalc.rs:64-90)
-    temps = q * (inv @ (area * qfrac))
+    temps = q_ * (inv @ (area * qfrac))
     t_global = jnp.dot(area, temps)
-    efficacy = jnp.where(
-        jnp.abs(rf_sum) <= 1e-15, 1.0, t_global / ecs
-    )
-    efficacy = jnp.where(found, efficacy, C(fallback[3]))
+    efficacy = jnp.where(jnp.abs(rf_sum) <= 1e-15, 1.0, t_global / ecs_)
+    efficacy = jnp.where(found, efficacy, fb[3])
     return lam_o, lam_l, inv, efficacy
+
+
+def _lamcalc_solve(static, ecs, q, k_lo, k_ns, rlo, alpha):
+    return _lamcalc_iter(static, ecs, q, k_lo, k_ns, rlo, alpha, fixed=False)
+
+
+def _lamcalc_solve_jvp(static, primals, tangents):
+    import jax
+
+    primal_out = _lamcalc_iter(static, *primals, fixed=False)
+    _, tangent_out = jax.jvp(
+        lambda *a: _lamcalc_iter(static, *a, fixed=True), primals, tangents
+    )
+    return primal_out, tangent_out
+
+
+_LAMCALC_SOLVE = None
+
+
+def _get_lamcalc_solve():
+    global _LAMCALC_SOLVE
+    if _LAMCALC_SOLVE is None:
+        import functools
+
+        import jax
+
+        solve = jax.custom_jvp(_lamcalc_solve, nondiff_argnums=(0,))
+        solve.defjvp(_lamcalc_solve_jvp)
+        _LAMCALC_SOLVE = solve
+    return _LAMCALC_SOLVE
+
+
+def lamcalc_traced(params: LamcalcParams, ecs, fallback):
+    """Traced LAMCALC: the same hybrid step/secant iteration as
+    :func:`lamcalc`, expressed branch-free with convergence freezing so a
+    time-varying (traced) ECS can re-derive the feedback parameters
+    inside the fused step program.
+
+    Execution is split by transform (``jax.custom_jvp``, defined at module
+    level with every input explicit so nothing trace-local leaks into the
+    AD rule):
+
+    - the **primal** runs an early-exit ``lax.while_loop`` (converged
+      members are frozen by the body, so stopping once every vmapped
+      member has converged is result-identical; typical secant convergence
+      is ~10 of the 40 iterations — ~3x less serial depth);
+    - **derivatives** flow through an equivalent fixed-count
+      ``lax.fori_loop`` (reverse-mode AD cannot differentiate
+      ``while_loop``; the fori path computes the same frozen values, so
+      the tangents are exact), keeping NUTS/sensitivity gradients working
+      through UDEB models.
+
+    ``fallback`` is ``(lambda_ocean, lambda_land, matrix_inverse,
+    co2_internal_efficacy)`` used when the iteration fails to converge
+    (mirror of the runtime ``unwrap_or`` in ``udeb/mod.rs:304-318``);
+    fallbacks are build-time constants and carry no tangent.
+    Returns the same 4-tuple with traced leaves.
+    """
+    import jax.numpy as jnp
+
+    wdt = jnp.result_type(jnp.asarray(ecs))
+
+    def C(x):
+        return jnp.asarray(x, dtype=wdt)
+
+    def hashable(x):
+        arr = np.asarray(x)
+        if arr.ndim == 0:
+            return float(arr)
+        return tuple(hashable(v) for v in arr)
+
+    static = (
+        (
+            float(params.fgno), float(params.fgnl),
+            float(params.fgso), float(params.fgsl),
+        ),
+        tuple(float(v) for v in params.rf_regions_co2),
+        str(np.dtype(wdt)),
+        tuple(hashable(f) for f in fallback),
+    )
+    solve = _get_lamcalc_solve()
+    return solve(
+        static, C(ecs), C(params.q_2xco2), C(params.k_lo), C(params.k_ns),
+        C(params.rlo), C(params.amplify_ocean_to_land),
+    )
 
 
 def lamcalc(params: LamcalcParams) -> Optional[LamcalcResult]:

@@ -293,6 +293,51 @@ def _build_kernel(st: UdebStatic):
     return kernel
 
 
+def _months_jnp(st: UdebStatic, scal, ocean_flat, init_flat, vec):
+    """Pure-jnp reference of the kernel on the same (rows, B) layout.
+
+    Used as the differentiation path for the Pallas kernel (``custom_jvp``
+    below): Pallas calls have no AD rules, but the month body is plain jnp,
+    so tangents/cotangents flow through this equivalent computation.  On
+    padded lanes (zero inputs) the arithmetic produces NaNs; lanes never
+    mix, so they are confined and sliced away by the caller.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from jax import lax
+
+    n, steps = st.n, st.steps
+    b = ocean_flat.shape[-1]
+    ocean = ocean_flat.reshape(2, n, b)
+    init_prof = init_flat.reshape(2, n, b)
+    land = vec[0:2]
+    ground = vec[2:4]
+    hemi = vec[4:6]
+    upwell = vec[6:8]
+    alpha_eff = vec[8:10]
+
+    # scan (not an unrolled loop) over months: this path exists to be
+    # DIFFERENTIATED — unrolling 12 months of ~1k ops each makes the
+    # transposed graph explode at XLA compile time, while AD through a
+    # scan stays linear in the body size
+    def step(carry, frac):
+        ocean, land, ground, hemi, upwell = carry
+        return _month_body(
+            st, jnp, jax, scal, ocean, land, ground, hemi, upwell,
+            alpha_eff, init_prof, frac,
+        ), None
+
+    fracs = jnp.asarray(np.arange(1, steps + 1) / steps, dtype=ocean.dtype)
+    (ocean, land, ground, hemi, upwell), _ = lax.scan(
+        step, (ocean, land, ground, hemi, upwell), fracs
+    )
+    return (
+        ocean.reshape(2 * n, b),
+        jnp.concatenate([land, ground, hemi, upwell]),
+    )
+
+
 @functools.lru_cache(maxsize=32)
 def _build_caller(st: UdebStatic, dtype_str: str, interpret: bool):
     import jax
@@ -368,27 +413,25 @@ def _static_from_component(comp) -> UdebStatic:
     )
 
 
-def udeb_year_update(comp, dt_year, scalars, ocean, init_prof, vec):
-    """One year of monthly UDEB sub-steps via the Pallas kernel.
+@functools.lru_cache(maxsize=32)
+def _get_member_fn(st: UdebStatic, interpret: bool):
+    """Per-member year update: custom_jvp(custom_vmap(pallas)).
 
-    Per-member shapes (the traced component calls this under ``vmap``):
-    ``scalars`` (S+2,), ``ocean``/``init_prof`` (2, n), ``vec`` (10,) —
-    [land(2), ground(2), hemi(2), upwell(2), alpha_eff(2)].  Returns
-    ``(new_ocean (2, n), new_vec (8,))`` — [land, ground, hemi, upwell].
+    Transform layering (both wrappers are built module-level from the
+    hashable ``st`` so no trace-local value leaks into their rules):
 
-    The batched form (under vmap) tiles members across lanes; the
-    unbatched form runs as a batch of one.
+    - ``custom_vmap``: under ``vmap`` the batched call routes to the
+      lane-tiled Pallas kernel; unbatched calls run as a batch of one.
+    - ``custom_jvp`` *outside* it: ``custom_vmap`` supports no AD
+      transforms, and Pallas calls cannot be linearized, so derivatives
+      (JVPs, and reverse mode via linearization of the JVP) flow through
+      the pure-jnp reference implementation ``_months_jnp`` — identical
+      arithmetic to the kernel, so tangents are exact and the primal
+      under differentiation matches the kernel to f32 rounding.
     """
     import jax
     import jax.numpy as jnp
     from jax import custom_batching
-
-    st = _static_from_component(comp)
-    if abs(dt_year * 1.0 / st.steps - st.dt_sub) > 1e-12:
-        # non-unit annual step: fold into dt_sub statically
-        st = UdebStatic(**{**st.__dict__, "dt_sub": float(dt_year) / st.steps})
-
-    interpret = jax.default_backend() != "tpu"
 
     def batched_impl(scalars_b, ocean_b, init_b, vec_b):
         b = scalars_b.shape[0]
@@ -414,24 +457,66 @@ def udeb_year_update(comp, dt_year, scalars, ocean, init_prof, vec):
         return out_ocean.T.reshape(b, 2, n), out_vec.T
 
     @custom_batching.custom_vmap
-    def year_fn(scalars, ocean, init_prof, vec):
+    def core(scalars, ocean, init_prof, vec):
         o, v = batched_impl(
             scalars[None], ocean[None], init_prof[None], vec[None]
         )
         return o[0], v[0]
 
-    @year_fn.def_vmap
+    @core.def_vmap
     def _rule(axis_size, in_batched, scalars, ocean, init_prof, vec):
-        def bcast(x, batched, tail_shape):
+        def bcast(x, batched):
             if batched:
                 return x
             return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
 
         args = [
-            bcast(a, bat, None)
+            bcast(a, bat)
             for a, bat in zip((scalars, ocean, init_prof, vec), in_batched)
         ]
         out = batched_impl(*args)
         return out, (True, True)
 
-    return year_fn(scalars, ocean, init_prof, vec)
+    def _ref_single(scalars, ocean, init_prof, vec):
+        n = st.n
+        o, v = _months_jnp(
+            st,
+            scalars[:, None],
+            ocean.reshape(2 * n)[:, None],
+            init_prof.reshape(2 * n)[:, None],
+            vec[:, None],
+        )
+        return o[:, 0].reshape(2, n), v[:, 0]
+
+    @jax.custom_jvp
+    def year_fn(scalars, ocean, init_prof, vec):
+        return core(scalars, ocean, init_prof, vec)
+
+    @year_fn.defjvp
+    def _year_jvp(primals, tangents):
+        return jax.jvp(_ref_single, primals, tangents)
+
+    return year_fn
+
+
+def udeb_year_update(comp, dt_year, scalars, ocean, init_prof, vec):
+    """One year of monthly UDEB sub-steps via the Pallas kernel.
+
+    Per-member shapes (the traced component calls this under ``vmap``):
+    ``scalars`` (S+2,), ``ocean``/``init_prof`` (2, n), ``vec`` (10,) —
+    [land(2), ground(2), hemi(2), upwell(2), alpha_eff(2)].  Returns
+    ``(new_ocean (2, n), new_vec (8,))`` — [land, ground, hemi, upwell].
+
+    The batched form (under vmap) tiles members across lanes; the
+    unbatched form runs as a batch of one; derivatives flow through the
+    jnp reference implementation (see :func:`_get_member_fn`).
+    """
+    import jax
+
+    st = _static_from_component(comp)
+    if abs(dt_year * 1.0 / st.steps - st.dt_sub) > 1e-12:
+        # non-unit annual step: fold into dt_sub statically
+        st = UdebStatic(**{**st.__dict__, "dt_sub": float(dt_year) / st.steps})
+
+    interpret = jax.default_backend() != "tpu"
+    return _get_member_fn(st, interpret)(scalars, ocean, init_prof, vec)

@@ -212,9 +212,16 @@ class EnsembleRunner:
         batch_exo = exo is not None
         if batch_exo:
             # batched members keep axis 0; unbatched model exogenous rides
-            # along unmapped (in_axes=None) — no (B, ...) broadcast
+            # along unmapped (in_axes=None) — no (B, ...) broadcast.
+            # jnp.asarray is a no-op for already-device-resident arrays of
+            # the right dtype (np.asarray would pull them back to the host
+            # and re-ship ~100s of MB per call through a remote tunnel)
+            import jax.numpy as jnp
+
             exo_arg = dict(base_exo)
-            exo_arg.update({k: np.asarray(v, dtype=p.dtype) for k, v in exo.items()})
+            exo_arg.update(
+                {k: jnp.asarray(v, dtype=p.dtype) for k, v in exo.items()}
+            )
         else:
             exo_arg = base_exo
 
@@ -262,12 +269,14 @@ class EnsembleRunner:
             pad = (-batch) % n_dev
             if pad:
 
+                import jax.numpy as jnp
+
                 def _pad(v, batched):
                     if not batched:
                         return v
-                    v = np.asarray(v)
-                    tail = np.broadcast_to(v[-1:], (pad,) + v.shape[1:])
-                    return np.concatenate([v, tail])
+                    v = jnp.asarray(v)
+                    tail = jnp.broadcast_to(v[-1:], (pad,) + v.shape[1:])
+                    return jnp.concatenate([v, tail])
 
                 params = {
                     nk: {

@@ -121,3 +121,29 @@ def test_pallas_engine_on_golden_scenario_config():
         _actual_global_temp(pallas), _actual_global_temp(xla),
         rtol=1e-12, atol=1e-12,
     )
+
+
+@pytest.mark.slow
+def test_gradient_through_pallas_engine():
+    """The kernel itself has no AD rule (and custom_vmap none either), so
+    derivatives route through the scan-based jnp reference via a
+    custom_jvp wrapped OUTSIDE the custom_vmap — the end-to-end gradient
+    must match finite differences."""
+    import jax
+
+    from rscm_tpu.calibrate import CompiledModelRunner
+
+    years = np.arange(1850.0, 1858.0)
+    erf = np.where(years >= 1851.0, 3.71, 0.0)
+    model = build_model(years, erf, month_engine="pallas")
+    runner = CompiledModelRunner(
+        model, param_map={"ecs": "ClimateUDEB.ecs"},
+        output_variables=["Sea Surface Temperature"],
+    )
+    fn = runner.trajectories_fn()
+    target = jax.jit(lambda th: fn(th)["Sea Surface Temperature"][-1, 0])
+    g = float(jax.jit(jax.grad(target))(np.array([3.0]))[0])
+    eps = 1e-5
+    fd = (float(target(np.array([3.0 + eps])))
+          - float(target(np.array([3.0 - eps])))) / (2 * eps)
+    assert g == pytest.approx(fd, rel=1e-5)

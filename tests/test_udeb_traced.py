@@ -98,3 +98,29 @@ def test_udeb_ensemble_vmaps():
     # higher ECS -> more warming, all finite
     assert np.all(np.isfinite(ssts))
     assert ssts[0] < ssts[1] < ssts[2]
+
+
+def test_gradient_through_udeb():
+    """Reverse-mode AD must flow through the traced UDEB (NUTS/sensitivity
+    depend on it).  The LAMCALC early-exit while_loop is not reverse-
+    differentiable, so lamcalc routes derivatives through an equivalent
+    fixed-count fori path via custom_jvp — the gradient must match finite
+    differences."""
+    import jax
+
+    from rscm_tpu.calibrate import CompiledModelRunner
+
+    years = np.arange(1850.0, 1860.0)
+    erf = np.where(years >= 1851.0, 3.71, 0.0)
+    model = build_model(years, erf, month_engine="xla")
+    runner = CompiledModelRunner(
+        model, param_map={"ecs": "ClimateUDEB.ecs"},
+        output_variables=["Sea Surface Temperature"],
+    )
+    fn = runner.trajectories_fn()
+    target = jax.jit(lambda th: fn(th)["Sea Surface Temperature"][-1, 0])
+    g = float(jax.jit(jax.grad(target))(np.array([3.0]))[0])
+    eps = 1e-5
+    fd = (float(target(np.array([3.0 + eps])))
+          - float(target(np.array([3.0 - eps])))) / (2 * eps)
+    assert g == pytest.approx(fd, rel=1e-6)
