@@ -240,11 +240,12 @@ def _lamcalc_solve(static, ecs, q, k_lo, k_ns, rlo, alpha):
 def _lamcalc_solve_jvp(static, primals, tangents):
     import jax
 
-    primal_out = _lamcalc_iter(static, *primals, fixed=False)
-    _, tangent_out = jax.jvp(
+    # one solve, not two: the fixed-count fori path computes the same
+    # frozen values as the early-exit primal, so its jvp provides both the
+    # primal and the tangent for differentiated programs
+    return jax.jvp(
         lambda *a: _lamcalc_iter(static, *a, fixed=True), primals, tangents
     )
-    return primal_out, tangent_out
 
 
 _LAMCALC_SOLVE = None

@@ -127,8 +127,10 @@ class ClimateUDEB(Component):
     steps_per_year = Parameter(default=12, static=True)
     max_temperature = Parameter(default=25.0, unit="K")
     #: execution engine for the traced monthly sub-step loop:
-    #: "auto" (default: the Pallas kernel on TPU backends, the XLA inner
-    #: scan elsewhere), "xla" (inner lax.scan) or "pallas" (the whole
+    #: "auto" (default: the Pallas kernel when the *default* backend is
+    #: TPU, the XLA inner scan elsewhere — pass "xla" explicitly when
+    #: pinning a run to a non-default device on a TPU host), "xla"
+    #: (inner lax.scan) or "pallas" (the whole
     #: year of monthly sub-steps as one on-chip kernel,
     #: rscm_tpu/ops/udeb_month.py — keeps every Thomas intermediate in
     #: VMEM; differentially tested against the xla engine, 2x ensemble

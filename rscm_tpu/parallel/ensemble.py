@@ -213,15 +213,21 @@ class EnsembleRunner:
         if batch_exo:
             # batched members keep axis 0; unbatched model exogenous rides
             # along unmapped (in_axes=None) — no (B, ...) broadcast.
-            # jnp.asarray is a no-op for already-device-resident arrays of
-            # the right dtype (np.asarray would pull them back to the host
-            # and re-ship ~100s of MB per call through a remote tunnel)
+            # Device-resident inputs stay on device (np.asarray would pull
+            # them to the host and re-ship ~100s of MB per call through a
+            # remote tunnel); host inputs stay host-side so jit can shard
+            # them straight to their target devices instead of committing
+            # the whole array to the default device first
+            import jax
             import jax.numpy as jnp
 
+            def _cast(v):
+                if isinstance(v, jax.Array):
+                    return jnp.asarray(v, dtype=p.dtype)
+                return np.asarray(v, dtype=p.dtype)
+
             exo_arg = dict(base_exo)
-            exo_arg.update(
-                {k: jnp.asarray(v, dtype=p.dtype) for k, v in exo.items()}
-            )
+            exo_arg.update({k: _cast(v) for k, v in exo.items()})
         else:
             exo_arg = base_exo
 
