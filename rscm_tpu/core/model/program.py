@@ -437,7 +437,15 @@ class ModelProgram:
                 }
         return params
 
-    def gather_internals(self) -> Dict[str, object]:
+    def gather_internals(self, start_idx: int = 0) -> Dict[str, object]:
+        """Internal states as the scan consumes them.
+
+        Components may define ``pack_scan_state(state, start_idx)`` to
+        re-layout their state for the traced program (e.g. the ocean
+        carbon ring buffer switches to a circular layout so the scan never
+        shifts it); the host-visible layout is restored by
+        ``unpack_scan_state`` when results are written back.
+        """
         import jax
 
         def cast(leaf):
@@ -446,10 +454,14 @@ class ModelProgram:
                 return arr.astype(self.dtype)
             return arr
 
-        return {
-            str(node): jax.tree.map(cast, self.model.component_states[node])
-            for node in self.exec_nodes
-        }
+        out = {}
+        for node in self.exec_nodes:
+            state = self.model.component_states[node]
+            comp = self.model.graph.nodes[node]
+            if state is not None and hasattr(comp, "pack_scan_state"):
+                state = comp.pack_scan_state(state, start_idx)
+            out[str(node)] = jax.tree.map(cast, state)
+        return out
 
     # -- execution ------------------------------------------------------------
 
@@ -468,7 +480,7 @@ class ModelProgram:
         endo = self.gather_endo()
         exo = self.gather_exo()
         params = self.gather_params()
-        internals = self.gather_internals()
+        internals = self.gather_internals(start_idx)
 
         fn = self._get_jitted(start_idx)
         endo_out, internals_out = fn(endo, exo, params, internals)
@@ -477,11 +489,14 @@ class ModelProgram:
             data = model.collection.get_data(name)
             data._values[:, :] = np.asarray(arr, dtype=np.float64)
             data._recompute_latest()
+        end_idx = self.n_steps - 1
         for node in self.exec_nodes:
             new_state = internals_out.get(str(node))
             if new_state is not None:
                 import jax
 
-                model.component_states[node] = jax.tree.map(
-                    lambda leaf: np.asarray(leaf), new_state
-                )
+                new_state = jax.tree.map(lambda leaf: np.asarray(leaf), new_state)
+                comp = self.model.graph.nodes[node]
+                if hasattr(comp, "unpack_scan_state"):
+                    new_state = comp.unpack_scan_state(new_state, end_idx)
+                model.component_states[node] = new_state

@@ -304,18 +304,121 @@ class OceanCarbon(Component):
 
         return flux_history, pco2_ocn, cumulative, total_flux_gtc
 
+    # -- circular-layout traced path ------------------------------------------
+    #
+    # The newest-first layout pays a whole-buffer shift every year (read +
+    # write of the (B, N) history: ~1.2 TB over a 550-year 100k-member
+    # run).  Inside the fused scan the program instead keeps the buffer
+    # CIRCULAR — slot p holds the flux of absolute month u with u ≡ p
+    # (mod N) — so a year writes only its 12 new entries, and the
+    # old-history weight matrix is the static table rotated by the
+    # (unbatched) step index.  The host-visible contract stays newest-
+    # first: the program converts layouts once at entry/exit via the
+    # pack/unpack hooks below, so checkpoints, the eager path and the
+    # reference semantics never see the circular layout.
+
+    def pack_scan_state(self, state, start_idx: int):
+        """Host (newest-first) -> scan (circular) layout, entering at
+        ``start_idx`` (called once by ModelProgram.gather_internals).
+
+        Slot ``p`` holds the month aged ``(c0 - 1 - p) mod n`` relative to
+        entry, where ``c0 = start_idx * steps_per_year``.
+        """
+        n = int(self.max_history_months)
+        steps = int(self.steps_per_year)
+        c0 = int(start_idx) * steps
+        newest = np.asarray(state["flux_history"])
+        ages = (c0 - 1 - np.arange(n)) % n
+        return {**state, "flux_history": newest[ages]}
+
+    def unpack_scan_state(self, state, end_idx: int):
+        """Scan (circular) -> host (newest-first) layout after the run
+        finished at ``end_idx`` (called once by run_into_collection)."""
+        n = int(self.max_history_months)
+        steps = int(self.steps_per_year)
+        c_end = int(end_idx) * steps
+        circular = np.asarray(state["flux_history"])
+        ages = np.arange(n)
+        newest = circular[(c_end - 1 - ages) % n]
+        return {**state, "flux_history": newest}
+
+    def _solve_ocean_circular(self, flux_history, co2_atm, delta_sst,
+                              pco2_initial, cumulative_initial, dt, step_index):
+        """Traced yearly update on the circular buffer (no shift).
+
+        Arithmetically identical to :meth:`solve_ocean` — the old-history
+        product uses the same IRF weights, just gathered at the rotation
+        the (unbatched) ``step_index`` implies, so under ``vmap`` the
+        index arrays stay member-independent.
+        """
+        import jax.numpy as jnp
+
+        steps = int(self.steps_per_year)
+        n = int(self.max_history_months)
+        dt_month = dt / steps
+        irf_np = self.irf_table()
+        dic_factor = self.dic_conversion_factor()
+
+        flux_history = jnp.asarray(flux_history)
+        dtype = flux_history.dtype
+        gpad = jnp.asarray(
+            np.concatenate([irf_np, np.zeros(steps)]), dtype=dtype
+        )
+        g_new = jnp.asarray(irf_np[:steps], dtype=dtype)
+
+        c = jnp.asarray(step_index, dtype=jnp.int32) * steps
+        offs = jnp.arange(n, dtype=jnp.int32)
+        months = jnp.arange(1, steps + 1, dtype=jnp.int32)
+        # W[p, m-1] = irf(age of slot p at this year's month m); ages >= N
+        # index the zero pad (those entries have left the window)
+        delta_p = (c - 1 - offs) % n
+        ages = months[None, :] + delta_p[:, None]  # (n, steps), unbatched
+        weights = gpad[ages]
+        old_contrib = flux_history @ weights  # (steps,) per member
+
+        pco2_ocn = pco2_initial
+        cumulative = cumulative_initial
+        total_flux_gtc = 0.0
+        new_fluxes = []
+        for m in range(1, steps + 1):
+            flux_ppm = self.calculate_flux(co2_atm, pco2_ocn)
+            new_fluxes.append(flux_ppm)
+
+            flux_gtc_yr = flux_ppm * 12.0 * PPM_TO_GTC
+            total_flux_gtc = total_flux_gtc + flux_gtc_yr / steps
+            cumulative = cumulative + flux_gtc_yr * dt_month
+
+            new_part = 0.0
+            for j, flux_j in enumerate(new_fluxes, start=1):
+                new_part = new_part + flux_j * g_new[m - j]
+            delta_dic = (new_part + old_contrib[m - 1]) * dic_factor
+            delta_pco2_dic = self.delta_pco2_from_dic(delta_dic)
+            pco2_ocn = self.ocean_pco2_value(delta_pco2_dic, delta_sst)
+
+        slots = (c + (months - 1)) % n  # unbatched (12,)
+        flux_history = flux_history.at[slots].set(
+            jnp.stack([jnp.asarray(f, dtype=dtype) for f in new_fluxes])
+        )
+        return flux_history, pco2_ocn, cumulative, total_flux_gtc
+
     def solve_ctx(self, ctx, inputs, internal_state):
         dt = ctx.t_next - ctx.t_current
         flux_history = internal_state["flux_history"]
 
-        flux_history, new_pco2, new_cumulative, flux = self.solve_ocean(
-            flux_history,
-            inputs.co2_concentration.get(),
-            inputs.sst.get(),
-            inputs.ocean_pco2.at_start(),
-            inputs.cumulative_uptake.at_start(),
-            dt,
-        )
+        co2 = inputs.co2_concentration.get()
+        sst = inputs.sst.get()
+        pco2_0 = inputs.ocean_pco2.at_start()
+        cum_0 = inputs.cumulative_uptake.at_start()
+        if xm._is_traced(flux_history, co2, sst, pco2_0, ctx.step_index):
+            flux_history, new_pco2, new_cumulative, flux = (
+                self._solve_ocean_circular(
+                    flux_history, co2, sst, pco2_0, cum_0, dt, ctx.step_index
+                )
+            )
+        else:
+            flux_history, new_pco2, new_cumulative, flux = self.solve_ocean(
+                flux_history, co2, sst, pco2_0, cum_0, dt
+            )
         return (
             self.Outputs(
                 ocean_pco2=new_pco2,

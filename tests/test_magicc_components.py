@@ -422,3 +422,65 @@ class TestHalocarbonTableValues:
     def test_molecular_weights(self):
         assert self._species("CFC-11").molecular_weight == pytest.approx(137.4, rel=0.01)
         assert self._species("HFC-134a").molecular_weight == pytest.approx(102.0, rel=0.01)
+
+
+class TestOceanCircularLayout:
+    """The traced path keeps the flux history in a circular layout (no
+    per-year shift); the host-visible contract stays newest-first via the
+    pack/unpack hooks.  Both trajectories and the final state must match
+    the eager newest-first path — including after buffer wraparound."""
+
+    def _build(self, years, max_history_months=6000):
+        from rscm_tpu.core import ModelBuilder, TimeAxis, Timeseries, VariableSchema
+
+        schema = VariableSchema()
+        schema.add_variable("Atmospheric Concentration|CO2", "ppm")
+        schema.add_variable("Sea Surface Temperature", "K")
+        schema.add_variable("Ocean Surface pCO2", "ppm")
+        schema.add_variable("Cumulative Ocean Uptake", "GtC")
+        schema.add_variable("Carbon Flux|Ocean", "GtC/yr")
+        return (
+            ModelBuilder()
+            .with_time_axis(TimeAxis.from_values(years))
+            .with_schema(schema)
+            .with_component(OceanCarbon(max_history_months=max_history_months))
+            .with_exogenous_variable(
+                "Atmospheric Concentration|CO2",
+                Timeseries.from_values(
+                    280.0 + 1.5 * np.arange(len(years)), years
+                ),
+            )
+            .with_exogenous_variable(
+                "Sea Surface Temperature",
+                Timeseries.from_values(0.01 * np.arange(len(years)), years),
+            )
+            .with_initial_values(
+                {"Ocean Surface pCO2": 278.0, "Cumulative Ocean Uptake": 0.0}
+            )
+            .build()
+        )
+
+    @pytest.mark.parametrize("max_history,n_years", [(6000, 40), (36, 20)])
+    def test_compiled_matches_host_including_state(self, max_history, n_years):
+        # max_history=36 months over 20 years forces several wraparounds
+        years = np.arange(2000.0, 2000.0 + n_years)
+        comp = self._build(years, max_history)
+        comp.run(compiled=True)
+        host = self._build(years, max_history)
+        host.run(compiled=False)
+
+        for name in ("Ocean Surface pCO2", "Cumulative Ocean Uptake",
+                     "Carbon Flux|Ocean"):
+            np.testing.assert_allclose(
+                comp.collection.get_data(name).values(),
+                host.collection.get_data(name).values(),
+                rtol=1e-10, atol=1e-12, err_msg=name,
+            )
+
+        # the final host-visible flux history must be newest-first again
+        node = comp.exec_order[1]
+        np.testing.assert_allclose(
+            comp.component_states[node]["flux_history"],
+            host.component_states[node]["flux_history"],
+            rtol=1e-10, atol=1e-12,
+        )
