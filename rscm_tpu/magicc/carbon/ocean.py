@@ -361,19 +361,27 @@ class OceanCarbon(Component):
 
         flux_history = jnp.asarray(flux_history)
         dtype = flux_history.dtype
-        gpad = jnp.asarray(
-            np.concatenate([irf_np, np.zeros(steps)]), dtype=dtype
-        )
         g_new = jnp.asarray(irf_np[:steps], dtype=dtype)
 
+        # W(c)[p, m-1] = irf(age of slot p at this year's month m), ages
+        # beyond the window hitting a zero pad.  The age of slot p is
+        # m + (c-1-p) mod n, so W(c) is a row-roll of the static base
+        # matrix Wbase[p, m-1] = gpad[m + ((-p) mod n)] by r = (c-1) mod n
+        # — a roll (two slices + concat) is far cheaper on TPU than an
+        # elementwise gather of the (n, 12) index matrix every year.
+        if getattr(self, "_w_circ_cache", None) is None:
+            gpad_np = np.concatenate([irf_np, np.zeros(steps)])
+            p_idx = np.arange(n)
+            m_idx = np.arange(1, steps + 1)
+            self._w_circ_cache = gpad_np[
+                m_idx[None, :] + ((-p_idx) % n)[:, None]
+            ]
+        w_base = jnp.asarray(self._w_circ_cache, dtype=dtype)
+
         c = jnp.asarray(step_index, dtype=jnp.int32) * steps
-        offs = jnp.arange(n, dtype=jnp.int32)
         months = jnp.arange(1, steps + 1, dtype=jnp.int32)
-        # W[p, m-1] = irf(age of slot p at this year's month m); ages >= N
-        # index the zero pad (those entries have left the window)
-        delta_p = (c - 1 - offs) % n
-        ages = months[None, :] + delta_p[:, None]  # (n, steps), unbatched
-        weights = gpad[ages]
+        r = (c - 1) % n
+        weights = jnp.roll(w_base, r, axis=0)
         old_contrib = flux_history @ weights  # (steps,) per member
 
         pco2_ocn = pco2_initial
