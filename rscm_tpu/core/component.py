@@ -199,6 +199,11 @@ class SolveContext:
     t_next: Any
     step_index: Any = 0
     spans: Any = None
+    #: True only inside ModelProgram's fused scan — components whose scan
+    #: state uses a program-packed layout (see pack_scan_state hooks) must
+    #: branch on this, NOT on whether inputs are traced: concrete
+    #: jax.Array inputs in the eager path would misclassify
+    scan_mode: bool = False
 
     @property
     def dt(self):

@@ -121,7 +121,9 @@ class ModelProgram:
             idx = xs["idx"]
             t_current = xs["t"]
             t_next = xs["t_next"]
-            ctx = SolveContext(t_current, t_next, idx, spans=self.spans)
+            ctx = SolveContext(
+                t_current, t_next, idx, spans=self.spans, scan_mode=True
+            )
 
             for node in self.exec_nodes:
                 component = model.graph.nodes[node]
@@ -182,11 +184,36 @@ class ModelProgram:
 
         return step_fn
 
+    def _pack_internals(self, internals, start_idx: int):
+        """Apply components' scan-layout packing in-graph (static-index
+        gathers — one-time cost at program entry).  The hooks are written
+        against plain indexing so they work on numpy and traced arrays
+        alike; the pure-fn contract of run_fn is unchanged: callers pass
+        and receive HOST-layout internals."""
+        out = dict(internals)
+        for node in self.exec_nodes:
+            comp = self.model.graph.nodes[node]
+            key = str(node)
+            if out.get(key) is not None and hasattr(comp, "pack_scan_state"):
+                out[key] = comp.pack_scan_state(out[key], start_idx)
+        return out
+
+    def _unpack_internals(self, internals, end_idx: int):
+        out = dict(internals)
+        for node in self.exec_nodes:
+            comp = self.model.graph.nodes[node]
+            key = str(node)
+            if out.get(key) is not None and hasattr(comp, "unpack_scan_state"):
+                out[key] = comp.unpack_scan_state(out[key], end_idx)
+        return out
+
     def run_fn(self, endo, exo, params, internals, start_idx: int = 0):
         """Pure run: scan the step function from ``start_idx`` to the end.
 
         All array arguments are traced; ``start_idx`` is static.  Returns
-        ``(endo, internals)`` after the final step.
+        ``(endo, internals)`` after the final step.  Internals enter and
+        leave in the host layout (scan-internal re-layouts are applied and
+        reverted in-graph).
         """
         import jax.lax as lax
         import jax.numpy as jnp
@@ -194,6 +221,8 @@ class ModelProgram:
         n_run = self.n_steps - 1 - start_idx
         if n_run <= 0:
             return endo, internals
+
+        internals = self._pack_internals(internals, start_idx)
 
         idxs = np.arange(start_idx, self.n_steps - 1, dtype=np.int32)
         xs = {
@@ -210,7 +239,7 @@ class ModelProgram:
         (endo, internals), _ = lax.scan(
             step_with_params, (endo, internals), xs, unroll=self.scan_unroll
         )
-        return endo, internals
+        return endo, self._unpack_internals(internals, self.n_steps - 1)
 
     # -- streaming (windowed-carry) mode --------------------------------------
 
@@ -262,7 +291,9 @@ class ModelProgram:
             idx = xs["idx"]
             t_current = xs["t"]
             t_next = xs["t_next"]
-            ctx = SolveContext(t_current, t_next, idx, spans=self.spans)
+            ctx = SolveContext(
+                t_current, t_next, idx, spans=self.spans, scan_mode=True
+            )
             time_win = global_time_window(idx)
 
             for node in self.exec_nodes:
@@ -374,6 +405,7 @@ class ModelProgram:
         }
 
         step_fn = self._make_window_step_fn(exo, out_vars)
+        internals = self._pack_internals(internals, start_idx)
 
         def step_with_params(carry, x):
             return step_fn(carry, {**x, "params": params})
@@ -381,6 +413,7 @@ class ModelProgram:
         (endo_bufs, internals), ys = lax.scan(
             step_with_params, (endo_bufs, internals), xs, unroll=self.scan_unroll
         )
+        internals = self._unpack_internals(internals, self.n_steps - 1)
 
         trajs = {}
         for name in out_vars:
@@ -437,15 +470,9 @@ class ModelProgram:
                 }
         return params
 
-    def gather_internals(self, start_idx: int = 0) -> Dict[str, object]:
-        """Internal states as the scan consumes them.
-
-        Components may define ``pack_scan_state(state, start_idx)`` to
-        re-layout their state for the traced program (e.g. the ocean
-        carbon ring buffer switches to a circular layout so the scan never
-        shifts it); the host-visible layout is restored by
-        ``unpack_scan_state`` when results are written back.
-        """
+    def gather_internals(self) -> Dict[str, object]:
+        """Internal states in the host layout (``run_fn`` applies any
+        component scan-layout packing in-graph itself)."""
         import jax
 
         def cast(leaf):
@@ -454,14 +481,10 @@ class ModelProgram:
                 return arr.astype(self.dtype)
             return arr
 
-        out = {}
-        for node in self.exec_nodes:
-            state = self.model.component_states[node]
-            comp = self.model.graph.nodes[node]
-            if state is not None and hasattr(comp, "pack_scan_state"):
-                state = comp.pack_scan_state(state, start_idx)
-            out[str(node)] = jax.tree.map(cast, state)
-        return out
+        return {
+            str(node): jax.tree.map(cast, self.model.component_states[node])
+            for node in self.exec_nodes
+        }
 
     # -- execution ------------------------------------------------------------
 
@@ -480,7 +503,7 @@ class ModelProgram:
         endo = self.gather_endo()
         exo = self.gather_exo()
         params = self.gather_params()
-        internals = self.gather_internals(start_idx)
+        internals = self.gather_internals()
 
         fn = self._get_jitted(start_idx)
         endo_out, internals_out = fn(endo, exo, params, internals)
@@ -489,14 +512,11 @@ class ModelProgram:
             data = model.collection.get_data(name)
             data._values[:, :] = np.asarray(arr, dtype=np.float64)
             data._recompute_latest()
-        end_idx = self.n_steps - 1
         for node in self.exec_nodes:
             new_state = internals_out.get(str(node))
             if new_state is not None:
                 import jax
 
-                new_state = jax.tree.map(lambda leaf: np.asarray(leaf), new_state)
-                comp = self.model.graph.nodes[node]
-                if hasattr(comp, "unpack_scan_state"):
-                    new_state = comp.unpack_scan_state(new_state, end_idx)
-                model.component_states[node] = new_state
+                model.component_states[node] = jax.tree.map(
+                    lambda leaf: np.asarray(leaf), new_state
+                )

@@ -250,9 +250,7 @@ class OceanCarbon(Component):
         identical to the monthly-rolled formulation up to summation order.
         """
         steps = int(self.steps_per_year)
-        dt_month = dt / steps
         irf_np = self.irf_table()
-        dic_factor = self.dic_conversion_factor()
 
         traced = xm._is_traced(flux_history, co2_atm, delta_sst, pco2_initial)
         if traced:
@@ -269,24 +267,12 @@ class OceanCarbon(Component):
 
         old_contrib = xm.dot(flux_history, weights)  # (steps,) per member
 
-        pco2_ocn = pco2_initial
-        cumulative = cumulative_initial
-        total_flux_gtc = 0.0
-        new_fluxes = []
-        for m in range(1, steps + 1):
-            flux_ppm = self.calculate_flux(co2_atm, pco2_ocn)
-            new_fluxes.append(flux_ppm)
-
-            flux_gtc_yr = flux_ppm * 12.0 * PPM_TO_GTC
-            total_flux_gtc = total_flux_gtc + flux_gtc_yr / steps
-            cumulative = cumulative + flux_gtc_yr * dt_month
-
-            new_part = 0.0
-            for j, flux_j in enumerate(new_fluxes, start=1):
-                new_part = new_part + flux_j * g_new[m - j]
-            delta_dic = (new_part + old_contrib[m - 1]) * dic_factor
-            delta_pco2_dic = self.delta_pco2_from_dic(delta_dic)
-            pco2_ocn = self.ocean_pco2_value(delta_pco2_dic, delta_sst)
+        new_fluxes, pco2_ocn, cumulative, total_flux_gtc = (
+            self._monthly_substeps(
+                old_contrib, g_new, co2_atm, delta_sst,
+                pco2_initial, cumulative_initial, dt,
+            )
+        )
 
         # newest-first: this year's months (newest leftmost), then the old
         # history with its oldest `steps` entries dropped
@@ -327,9 +313,10 @@ class OceanCarbon(Component):
         n = int(self.max_history_months)
         steps = int(self.steps_per_year)
         c0 = int(start_idx) * steps
-        newest = np.asarray(state["flux_history"])
+        # static indices; plain indexing works on numpy AND traced arrays
+        # (run_fn applies this in-graph as a one-time gather)
         ages = (c0 - 1 - np.arange(n)) % n
-        return {**state, "flux_history": newest[ages]}
+        return {**state, "flux_history": state["flux_history"][ages]}
 
     def unpack_scan_state(self, state, end_idx: int):
         """Scan (circular) -> host (newest-first) layout after the run
@@ -337,53 +324,17 @@ class OceanCarbon(Component):
         n = int(self.max_history_months)
         steps = int(self.steps_per_year)
         c_end = int(end_idx) * steps
-        circular = np.asarray(state["flux_history"])
-        ages = np.arange(n)
-        newest = circular[(c_end - 1 - ages) % n]
-        return {**state, "flux_history": newest}
+        slots = (c_end - 1 - np.arange(n)) % n
+        return {**state, "flux_history": state["flux_history"][slots]}
 
-    def _solve_ocean_circular(self, flux_history, co2_atm, delta_sst,
-                              pco2_initial, cumulative_initial, dt, step_index):
-        """Traced yearly update on the circular buffer (no shift).
-
-        Arithmetically identical to :meth:`solve_ocean` — the old-history
-        product uses the same IRF weights, just gathered at the rotation
-        the (unbatched) ``step_index`` implies, so under ``vmap`` the
-        index arrays stay member-independent.
-        """
-        import jax.numpy as jnp
-
+    def _monthly_substeps(self, old_contrib, g_new, co2_atm, delta_sst,
+                          pco2_initial, cumulative_initial, dt):
+        """The 12 sequential monthly sub-steps, shared by the newest-first
+        and circular formulations (which differ only in how the
+        old-history contribution and the buffer update are computed)."""
         steps = int(self.steps_per_year)
-        n = int(self.max_history_months)
         dt_month = dt / steps
-        irf_np = self.irf_table()
         dic_factor = self.dic_conversion_factor()
-
-        flux_history = jnp.asarray(flux_history)
-        dtype = flux_history.dtype
-        g_new = jnp.asarray(irf_np[:steps], dtype=dtype)
-
-        # W(c)[p, m-1] = irf(age of slot p at this year's month m), ages
-        # beyond the window hitting a zero pad.  The age of slot p is
-        # m + (c-1-p) mod n, so W(c) is a row-roll of the static base
-        # matrix Wbase[p, m-1] = gpad[m + ((-p) mod n)] by r = (c-1) mod n
-        # — a roll (two slices + concat) is far cheaper on TPU than an
-        # elementwise gather of the (n, 12) index matrix every year.
-        if getattr(self, "_w_circ_cache", None) is None:
-            gpad_np = np.concatenate([irf_np, np.zeros(steps)])
-            p_idx = np.arange(n)
-            m_idx = np.arange(1, steps + 1)
-            self._w_circ_cache = gpad_np[
-                m_idx[None, :] + ((-p_idx) % n)[:, None]
-            ]
-        w_base = jnp.asarray(self._w_circ_cache, dtype=dtype)
-
-        c = jnp.asarray(step_index, dtype=jnp.int32) * steps
-        months = jnp.arange(1, steps + 1, dtype=jnp.int32)
-        r = (c - 1) % n
-        weights = jnp.roll(w_base, r, axis=0)
-        old_contrib = flux_history @ weights  # (steps,) per member
-
         pco2_ocn = pco2_initial
         cumulative = cumulative_initial
         total_flux_gtc = 0.0
@@ -402,6 +353,51 @@ class OceanCarbon(Component):
             delta_dic = (new_part + old_contrib[m - 1]) * dic_factor
             delta_pco2_dic = self.delta_pco2_from_dic(delta_dic)
             pco2_ocn = self.ocean_pco2_value(delta_pco2_dic, delta_sst)
+        return new_fluxes, pco2_ocn, cumulative, total_flux_gtc
+
+    def _solve_ocean_circular(self, flux_history, co2_atm, delta_sst,
+                              pco2_initial, cumulative_initial, dt, step_index):
+        """Traced yearly update on the circular buffer (no shift).
+
+        Arithmetically identical to :meth:`solve_ocean` — the old-history
+        product uses the same IRF weights, just gathered at the rotation
+        the (unbatched) ``step_index`` implies, so under ``vmap`` the
+        index arrays stay member-independent.
+        """
+        import jax.numpy as jnp
+
+        steps = int(self.steps_per_year)
+        n = int(self.max_history_months)
+        irf_np = self.irf_table()
+
+        flux_history = jnp.asarray(flux_history)
+        dtype = flux_history.dtype
+        g_new = jnp.asarray(irf_np[:steps], dtype=dtype)
+
+        # W(c)[p, m-1] = irf(age of slot p at this year's month m), ages
+        # beyond the window hitting a zero pad.  The age of slot p is
+        # m + (c-1-p) mod n, so W(c) is a row-roll of the newest-first
+        # weight matrix (row p of that matrix is the age-p weight row) by
+        # r = (c-1) mod n after an index flip — a roll (two slices + a
+        # concat) is far cheaper on TPU than an elementwise gather of the
+        # (n, 12) index matrix every year.
+        if getattr(self, "_w_circ_cache", None) is None:
+            w_newest = self._old_history_weights()  # Wn[age, m-1]
+            self._w_circ_cache = w_newest[(-np.arange(n)) % n]
+        w_base = jnp.asarray(self._w_circ_cache, dtype=dtype)
+
+        c = jnp.asarray(step_index, dtype=jnp.int32) * steps
+        months = jnp.arange(1, steps + 1, dtype=jnp.int32)
+        r = (c - 1) % n
+        weights = jnp.roll(w_base, r, axis=0)
+        old_contrib = flux_history @ weights  # (steps,) per member
+
+        new_fluxes, pco2_ocn, cumulative, total_flux_gtc = (
+            self._monthly_substeps(
+                old_contrib, g_new, co2_atm, delta_sst,
+                pco2_initial, cumulative_initial, dt,
+            )
+        )
 
         slots = (c + (months - 1)) % n  # unbatched (12,)
         flux_history = flux_history.at[slots].set(
@@ -417,7 +413,12 @@ class OceanCarbon(Component):
         sst = inputs.sst.get()
         pco2_0 = inputs.ocean_pco2.at_start()
         cum_0 = inputs.cumulative_uptake.at_start()
-        if xm._is_traced(flux_history, co2, sst, pco2_0, ctx.step_index):
+        # circular layout exists ONLY inside the fused scan (run_fn packs
+        # it in-graph); dispatch on the explicit program flag — checking
+        # for traced inputs would misfire on concrete jax.Array inputs in
+        # the eager path, silently applying rotated weights to an
+        # unpacked newest-first buffer
+        if getattr(ctx, "scan_mode", False):
             flux_history, new_pco2, new_cumulative, flux = (
                 self._solve_ocean_circular(
                     flux_history, co2, sst, pco2_0, cum_0, dt, ctx.step_index

@@ -205,7 +205,7 @@ class EnsembleRunner:
                 p.gather_endo_window(start_idx) if stream else p.gather_endo()
             )
             self._input_cache[cache_key] = jax.device_put(
-                (gathered_endo, p.gather_exo(), p.gather_internals(start_idx))
+                (gathered_endo, p.gather_exo(), p.gather_internals())
             )
         endo, base_exo, internals = self._input_cache[cache_key]
 

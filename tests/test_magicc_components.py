@@ -460,6 +460,33 @@ class TestOceanCircularLayout:
             .build()
         )
 
+    def test_eager_steps_then_compiled_resume(self):
+        """Entering the scan mid-run (start_idx > 0) is the only case
+        where the pack rotation c0 = start_idx * 12 is nonzero: step a few
+        years eagerly (building a real newest-first history), then finish
+        compiled, and compare against a fully-eager run."""
+        years = np.arange(2000.0, 2030.0)
+        mixed = self._build(years, 120)
+        for _ in range(7):
+            mixed.step()
+        mixed.run(compiled=True)
+
+        host = self._build(years, 120)
+        host.run(compiled=False)
+
+        for name in ("Ocean Surface pCO2", "Cumulative Ocean Uptake"):
+            np.testing.assert_allclose(
+                mixed.collection.get_data(name).values(),
+                host.collection.get_data(name).values(),
+                rtol=1e-10, atol=1e-12, err_msg=name,
+            )
+        node = mixed.exec_order[1]
+        np.testing.assert_allclose(
+            mixed.component_states[node]["flux_history"],
+            host.component_states[node]["flux_history"],
+            rtol=1e-10, atol=1e-12,
+        )
+
     @pytest.mark.parametrize("max_history,n_years", [(6000, 40), (36, 20)])
     def test_compiled_matches_host_including_state(self, max_history, n_years):
         # max_history=36 months over 20 years forces several wraparounds
