@@ -381,8 +381,8 @@ class NUTSSampler:
 
         ``mesh`` shards the chain axis over a 1-D ``jax.sharding.Mesh``:
         chains are independent, so each device runs its share with no
-        cross-device communication (``n_chains`` must divide the device
-        count evenly).
+        cross-device communication (``n_chains`` must be divisible by the
+        device count).
         """
         import jax
         import jax.numpy as jnp
@@ -402,7 +402,17 @@ class NUTSSampler:
                 f"init_positions must be ({n_chains}, {D}), "
                 f"got {init_positions.shape}"
             )
-        init_x = np.asarray(jax.vmap(to_x)(jnp.asarray(init_positions)))
+        # Eager ops must run on the mesh's backend when one is given — the
+        # default backend may be broken/absent under a forced-CPU fallback.
+        import contextlib
+
+        def dev_ctx():
+            if mesh is not None:
+                return jax.default_device(mesh.devices.flat[0])
+            return contextlib.nullcontext()
+
+        with dev_ctx():
+            init_x = np.asarray(jax.vmap(to_x)(jnp.asarray(init_positions)))
 
         # sampling runs in the unconstrained space; density incl. Jacobian
         base_logp = self._log_prob
@@ -414,9 +424,10 @@ class NUTSSampler:
         # initial diagonal mass matrix from the prior scale (in x-space);
         # refined mid-warmup from the chain's own samples (Welford window)
         prior_draws = self.params.sample_random(256, rng)
-        x_draws = np.asarray(jax.vmap(to_x)(jnp.asarray(prior_draws)))
-        prior_mass = np.maximum(np.var(x_draws, axis=0), 1e-12)
-        inv_mass0 = jnp.asarray(1.0 / prior_mass)
+        with dev_ctx():
+            x_draws = np.asarray(jax.vmap(to_x)(jnp.asarray(prior_draws)))
+            prior_mass = np.maximum(np.var(x_draws, axis=0), 1e-12)
+            inv_mass0 = jnp.asarray(1.0 / prior_mass)
 
         step = self._build_step(D, logp_x)
 
@@ -538,9 +549,13 @@ class NUTSSampler:
             thetas, logjs = jax.vmap(jax.vmap(to_theta))(xs)
             return carry, thetas, logps_x - logjs
 
-        keys = jr.split(jr.PRNGKey(rng.integers(2**31)), total_iters * n_chains)
-        keys = keys.reshape(total_iters, n_chains, 2)
-        carry, qs, logps = run_all(jnp.asarray(init_x), keys)
+        with dev_ctx():
+            keys = jr.split(
+                jr.PRNGKey(rng.integers(2**31)), total_iters * n_chains
+            )
+            keys = keys.reshape(total_iters, n_chains, 2)
+            init_x_dev = jnp.asarray(init_x)
+        carry, qs, logps = run_all(init_x_dev, keys)
 
         qs = np.asarray(qs[warmup:])          # (n_iterations, n_chains, D)
         logps = np.asarray(logps[warmup:])

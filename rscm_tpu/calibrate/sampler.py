@@ -520,22 +520,34 @@ class EnsembleSampler:
         else:
             run_scan = self._scan_cache[cache_key] = jax.jit(_scan)
 
-        positions = jnp.asarray(state.positions, dtype=dtype)
-        if state.iteration == 0 or not np.all(np.isfinite(state.log_probs)):
-            log_probs = batched_log_prob(positions)
-        else:
-            log_probs = jnp.asarray(state.log_probs, dtype=dtype)
-        n_accepted = jnp.asarray(state.n_accepted)
+        # Eager ops (asarray, PRNG key handling) must execute on the mesh's
+        # backend, not the default one — when the mesh is a forced-CPU
+        # fallback, the default (TPU) backend may be absent or broken.
+        import contextlib
 
-        # chunk the scan so checkpoints/progress fire at the requested cadence
-        chunk = checkpoint_every or n_iterations
-        seed = int(rng.integers(0, 2**63 - 1))
-        key = jr.PRNGKey(seed)
+        def dev_ctx():
+            if mesh is not None:
+                return jax.default_device(mesh.devices.flat[0])
+            return contextlib.nullcontext()
+
+        with dev_ctx():
+            positions = jnp.asarray(state.positions, dtype=dtype)
+            if state.iteration == 0 or not np.all(np.isfinite(state.log_probs)):
+                log_probs = batched_log_prob(positions)
+            else:
+                log_probs = jnp.asarray(state.log_probs, dtype=dtype)
+            n_accepted = jnp.asarray(state.n_accepted)
+
+            # chunk the scan so checkpoints/progress fire at the requested cadence
+            chunk = checkpoint_every or n_iterations
+            seed = int(rng.integers(0, 2**63 - 1))
+            key = jr.PRNGKey(seed)
         done = 0
         while done < n_iterations:
             todo = min(chunk, n_iterations - done)
-            key, sub = jr.split(key)
-            keys = jr.split(sub, todo)
+            with dev_ctx():
+                key, sub = jr.split(key)
+                keys = jr.split(sub, todo)
             (positions, log_probs, n_accepted), (all_pos, all_lp) = run_scan(
                 positions, log_probs, n_accepted, keys
             )

@@ -79,6 +79,9 @@ class Model:
         self.collection = collection
         self.time_axis = time_axis
         self.time_index = 0
+        # bumped whenever mutable model state changes (step / restore);
+        # consumers (EnsembleRunner input cache) use it to detect staleness
+        self._state_version = 0
         self.grid_weights = grid_weights
         self.read_transforms = read_transforms
         self.write_transforms = write_transforms
@@ -226,6 +229,7 @@ class Model:
         for node in self.exec_order:
             self._step_component(node)
         self.time_index += 1
+        self._state_version += 1
 
     # -- full runs -----------------------------------------------------------
 
@@ -250,6 +254,7 @@ class Model:
                 try:
                     program.run_into_collection(self)
                     self.time_index = len(self.time_axis) - 1
+                    self._state_version += 1
                     return
                 except Exception:
                     if compiled is True:
@@ -314,6 +319,7 @@ class Model:
         from ..timeseries import TimeseriesCollection as TC
 
         self.time_index = int(d["time_index"])
+        self._state_version += 1
         self.collection = TC.from_dict(d["collection"])
         states = d.get("component_states", {})
 

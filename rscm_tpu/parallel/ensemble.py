@@ -60,16 +60,23 @@ class EnsembleRunner:
         self.program = ModelProgram(model, dtype=dtype)
         self._jitted = {}
         self._input_cache = {}
+        self._input_cache_version = self._model_version()
+
+    def _model_version(self):
+        """Cheap staleness signature of the underlying model's mutable state."""
+        return (self.model.time_index, getattr(self.model, "_state_version", 0))
 
     def refresh_inputs(self):
         """Drop the cached device-resident model inputs.
 
         :meth:`run` snapshots the model's endogenous window, exogenous data
         and internal states onto the device on first use (so steady-state
-        calls ship only the parameters).  Call this if the underlying model
-        state was mutated after the runner was first used.
+        calls ship only the parameters).  The cache auto-invalidates when the
+        model is stepped or restored from a checkpoint; call this explicitly
+        after any other in-place mutation of the model's timeseries data.
         """
         self._input_cache.clear()
+        self._input_cache_version = self._model_version()
 
     # -- base (single-member) inputs ----------------------------------------
 
@@ -85,7 +92,9 @@ class EnsembleRunner:
     def base_params(self) -> dict:
         return self.program.gather_params()
 
-    def batched_params(self, overrides: Dict[str, np.ndarray]) -> dict:
+    def batched_params(
+        self, overrides: Dict[str, np.ndarray], mesh=None, device=None
+    ) -> dict:
         """Batched parameter pytree from per-parameter override arrays.
 
         ``overrides`` maps ``"ComponentName.param"`` to a (B,) array; all
@@ -96,6 +105,12 @@ class EnsembleRunner:
         :meth:`run` call (through the remote-TPU tunnel, re-shipping ~100
         broadcast ``(B,)`` arrays per call measured 38 s at 100k members
         where the compute itself is <1 ms).
+
+        Placement follows the execution target, never the default backend:
+        pass the ``mesh`` you will pass to :meth:`run` (batched leaves are
+        sharded over its batch axis, scalars replicated) or an explicit
+        ``device``.  With neither, the leaves go to the default device if it
+        is healthy, else stay host-side (``jit`` places them at call time).
         """
         import jax
 
@@ -137,7 +152,28 @@ class EnsembleRunner:
                 f"batched_params: unknown parameter(s) {sorted(unknown)}; "
                 f"known traced parameters: {known}"
             )
-        return jax.device_put(out)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            batched = NamedSharding(mesh, P(axis))
+            replicated = NamedSharding(mesh, P())
+            return jax.device_put(
+                out,
+                jax.tree.map(
+                    lambda v: batched if np.ndim(v) >= 1 else replicated, out
+                ),
+            )
+        if device is not None:
+            return jax.device_put(out, device)
+        # No explicit target: default-device residency is a perf optimisation
+        # only — if the default backend is unusable (e.g. a libtpu client /
+        # terminal mismatch while the caller targets a CPU mesh), keep the
+        # leaves host-side and let jit's in_shardings place them at call time.
+        try:
+            return jax.device_put(out)
+        except Exception:
+            return out
 
     # -- execution -----------------------------------------------------------
 
@@ -198,15 +234,37 @@ class EnsembleRunner:
         if stream:
             stream_out = tuple(out_vars) if out_vars is not None else tuple(p.endo_names)
 
-        # static model inputs: gathered + device-put once, reused across calls
-        cache_key = (stream, start_idx)
+        # placement target: the mesh's devices when given, default otherwise.
+        # Keyed by device identity so one runner can serve several meshes.
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated_sharding = NamedSharding(mesh, P())
+            target_key = tuple(d.id for d in mesh.devices.flat) + (
+                mesh.devices.flat[0].platform,
+            )
+        else:
+            replicated_sharding = None
+            target_key = None
+
+        # static model inputs: gathered + device-put once, reused across
+        # calls; auto-invalidated when the model's state signature changes.
+        if self._model_version() != self._input_cache_version:
+            self.refresh_inputs()
+        cache_key = (stream, start_idx, target_key)
         if cache_key not in self._input_cache:
             gathered_endo = (
                 p.gather_endo_window(start_idx) if stream else p.gather_endo()
             )
-            self._input_cache[cache_key] = jax.device_put(
-                (gathered_endo, p.gather_exo(), p.gather_internals())
-            )
+            gathered = (gathered_endo, p.gather_exo(), p.gather_internals())
+            if replicated_sharding is not None:
+                gathered = jax.device_put(gathered, replicated_sharding)
+            else:
+                try:
+                    gathered = jax.device_put(gathered)
+                except Exception:
+                    pass  # unusable default backend: jit places host arrays
+            self._input_cache[cache_key] = gathered
         endo, base_exo, internals = self._input_cache[cache_key]
 
         batch_exo = exo is not None
@@ -278,11 +336,17 @@ class EnsembleRunner:
                 import jax.numpy as jnp
 
                 def _pad(v, batched):
+                    # host leaves pad in numpy (touching no backend — the
+                    # default one may be absent/broken when targeting a CPU
+                    # mesh); device leaves pad where they live
                     if not batched:
                         return v
-                    v = jnp.asarray(v)
-                    tail = jnp.broadcast_to(v[-1:], (pad,) + v.shape[1:])
-                    return jnp.concatenate([v, tail])
+                    if isinstance(v, jax.Array):
+                        tail = jnp.broadcast_to(v[-1:], (pad,) + v.shape[1:])
+                        return jnp.concatenate([v, tail])
+                    v = np.asarray(v)
+                    tail = np.broadcast_to(v[-1:], (pad,) + v.shape[1:])
+                    return np.concatenate([v, tail])
 
                 params = {
                     nk: {
@@ -292,22 +356,32 @@ class EnsembleRunner:
                 }
                 exo_arg = {k: _pad(v, np.ndim(v) >= 3) for k, v in exo_arg.items()}
         key = (
-            start_idx, mesh is not None and mesh.axis_names, stream_out, axes_key,
+            start_idx,
+            mesh is not None and mesh.axis_names,
+            target_key,
+            stream_out,
+            axes_key,
         )
-        if key not in self._jitted:
-            fn = self._build_fn(exo_axes, start_idx, stream_out, param_axes)
-            if mesh is not None:
-                axis = mesh.axis_names[0]
-                batch_sharding = NamedSharding(mesh, P(axis))
-                replicated = NamedSharding(mesh, P())
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            batch_sharding = NamedSharding(mesh, P(axis))
+            replicated = replicated_sharding
 
-                def shard_for(axes_tree):
-                    return jax.tree.map(
-                        lambda ax: batch_sharding if ax == 0 else replicated,
-                        axes_tree,
-                        is_leaf=lambda x: x is None or x == 0,
-                    )
+            def shard_for(axes_tree):
+                return jax.tree.map(
+                    lambda ax: batch_sharding if ax == 0 else replicated,
+                    axes_tree,
+                    is_leaf=lambda x: x is None or x == 0,
+                )
 
+            # Inputs must live on the mesh, not wherever they were created
+            # (batched_params without a mesh commits to the default device;
+            # a forced-CPU mesh wants them on CPU).  device_put is a no-op
+            # for leaves already laid out correctly.
+            params = jax.device_put(params, shard_for(param_axes))
+            exo_arg = jax.device_put(exo_arg, shard_for(exo_axes))
+            if key not in self._jitted:
+                fn = self._build_fn(exo_axes, start_idx, stream_out, param_axes)
                 self._jitted[key] = jax.jit(
                     fn,
                     in_shardings=(
@@ -317,8 +391,9 @@ class EnsembleRunner:
                         replicated,
                     ),
                 )
-            else:
-                self._jitted[key] = jax.jit(fn)
+        elif key not in self._jitted:
+            fn = self._build_fn(exo_axes, start_idx, stream_out, param_axes)
+            self._jitted[key] = jax.jit(fn)
 
         endo_out = self._jitted[key](endo, exo_arg, params, internals)
         if out_vars is not None:

@@ -160,3 +160,110 @@ def test_batched_params_rejects_unknown_names():
     runner = EnsembleRunner(model)
     with pytest.raises(KeyError, match="unknown parameter.*TwoLayer.nope"):
         runner.batched_params({"TwoLayer.nope": np.ones(3)})
+
+
+class TestMeshAwarePlacement:
+    """Placement must follow the execution target, never the default backend.
+
+    Round-2 regression (MULTICHIP_r02): ``batched_params`` committed leaves
+    to the default backend with a bare ``jax.device_put``, which blew up when
+    the default (TPU) backend was unusable while the mesh had fallen back to
+    CPU.  These tests pin the fix: with a mesh, every placement carries an
+    explicit sharding.
+    """
+
+    def _runner(self, n_years=6):
+        years = np.arange(2000.0, 2000.0 + n_years)
+        model = build_model(years, np.full(n_years, 3.7))
+        return EnsembleRunner(model)
+
+    def test_batched_params_shards_onto_mesh(self):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh()
+        runner = self._runner()
+        params = runner.batched_params(
+            {"TwoLayer.lambda0": np.linspace(0.8, 1.8, 2 * mesh.devices.size)},
+            mesh=mesh,
+        )
+        leaves = jax.tree.leaves(params)
+        assert all(isinstance(leaf, jax.Array) for leaf in leaves)
+        batched = [l for l in leaves if l.ndim >= 1 and l.shape[0] > 1]
+        scalars = [l for l in leaves if l.ndim == 0]
+        assert batched and scalars
+        assert all(
+            l.sharding == NamedSharding(mesh, P(mesh.axis_names[0]))
+            for l in batched
+        )
+        assert all(l.sharding == NamedSharding(mesh, P()) for l in scalars)
+
+    def test_batched_params_explicit_device(self):
+        import jax
+
+        device = jax.devices("cpu")[0]
+        runner = self._runner()
+        params = runner.batched_params(
+            {"TwoLayer.lambda0": np.array([0.9, 1.1])}, device=device
+        )
+        for leaf in jax.tree.leaves(params):
+            assert leaf.devices() == {device}
+
+    def test_mesh_run_never_bare_device_put(self, monkeypatch):
+        """Tripwire: with a mesh, no device_put may target the default backend."""
+        import jax
+
+        orig = jax.device_put
+
+        def guarded(x, device=None, **kwargs):
+            assert device is not None, (
+                "bare jax.device_put (default-backend placement) during a "
+                "mesh-targeted ensemble run"
+            )
+            return orig(x, device, **kwargs)
+
+        mesh = make_mesh()
+        runner = self._runner()
+        monkeypatch.setattr(jax, "device_put", guarded)
+        params = runner.batched_params(
+            {"TwoLayer.lambda0": np.linspace(0.8, 1.8, mesh.devices.size)},
+            mesh=mesh,
+        )
+        out = runner.run(params=params, mesh=mesh, out_vars=["Surface Temperature"])
+        assert np.all(np.isfinite(np.asarray(out["Surface Temperature"])))
+
+    def test_default_backend_params_replaced_onto_mesh(self):
+        """Params committed elsewhere are re-placed to the mesh inside run()."""
+        import jax
+
+        mesh = make_mesh()
+        runner = self._runner()
+        # commit to a single device (simulates batched_params without mesh
+        # pinning to the default backend) then run on the full mesh
+        params = runner.batched_params(
+            {"TwoLayer.lambda0": np.linspace(0.8, 1.8, mesh.devices.size)},
+            device=jax.devices("cpu")[0],
+        )
+        out = runner.run(params=params, mesh=mesh, out_vars=["Surface Temperature"])
+        temps = np.asarray(out["Surface Temperature"])
+        assert temps.shape[0] == mesh.devices.size
+        assert np.all(np.isfinite(temps))
+
+
+def test_input_cache_invalidates_when_model_steps():
+    years = np.arange(2000.0, 2006.0)
+    model = build_model(years, np.full(len(years), 3.7))
+    runner = EnsembleRunner(model)
+    params = runner.batched_params({"TwoLayer.lambda0": np.array([0.9, 1.2])})
+    runner.run(params=params, out_vars=["Surface Temperature"])
+    cached_before = dict(runner._input_cache)
+    assert cached_before
+    model.step()  # mutates collection + time_index
+    runner.run(params=params, out_vars=["Surface Temperature"])
+    # cache was rebuilt from the mutated model, not served stale
+    assert runner._input_cache_version == (
+        model.time_index,
+        model._state_version,
+    )
+    for key, value in runner._input_cache.items():
+        assert key not in cached_before or value is not cached_before[key]
