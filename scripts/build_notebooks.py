@@ -28,10 +28,19 @@ import nbformat
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 OUT_DIR = ROOT / "docs" / "notebooks"
 
-#: tutorials shipped as notebooks (the rest stay runnable scripts)
+#: every tutorial ships as an executed notebook (reference parity:
+#: /root/reference/docs/notebooks/ renders all tutorial sources)
 NOTEBOOKS = [
     "01_coupled_model.py",
+    "02_spatial_grids.py",
+    "03_variable_schema.py",
+    "04_state_serialisation.py",
+    "05_debugging_inspection.py",
+    "06_scenario_pipeline.py",
     "07_calibration.py",
+    "08_units.py",
+    "09_python_components.py",
+    "10_ensembles_and_sharding.py",
     "11_magicc_coupled.py",
 ]
 
