@@ -210,6 +210,29 @@ def bench_magicc(extra):
     )
     extra["magicc_single_550yr_wall_s"] = med
 
+    # the BASELINE MAGICC-legacy shape at full ensemble scale: 100k
+    # members x 550 years (the 251-yr ensemble above never measured this
+    # point directly)
+    model = build_magicc_model(years=years)
+    n_years = len(model.time_axis)
+    runner = EnsembleRunner(model)
+    rng = np.random.default_rng(3)
+    n_members = 100_000
+    params = runner.batched_params(
+        {
+            "ClimateUDEB.ecs": rng.uniform(1.8, 5.5, n_members),
+            "ClimateUDEB.kappa": rng.uniform(0.4, 1.5, n_members),
+        }
+    )
+    med, best, out = _timed(
+        lambda: runner.run(params=params, out_vars=["Surface Temperature"])
+    )
+    assert np.all(np.isfinite(np.asarray(out["Surface Temperature"])))
+    extra["magicc_100k_550yr_wall_s"] = med
+    extra["magicc_100k_550yr_member_years_per_sec"] = (
+        n_members * (n_years - 1) / med
+    )
+
     # engine comparison: on TPU the default month_engine="auto" resolves
     # to the Pallas kernel (rscm_tpu/ops/udeb_month.py) — the numbers
     # above use it; this extra records the plain-XLA inner-scan engine so
@@ -281,6 +304,176 @@ def bench_ssp_cross(extra):
     extra["ssp_10k_x8_member_years_per_sec"] = batch * (n_years - 1) / med
 
 
+def bench_tpu_golden(extra):
+    """On-device correctness: golden scenarios executed on the TPU in f32.
+
+    Every other number in this file asserts only finiteness; this ties the
+    TPU to correctness (a TPU-specific numeric fault — different fusion,
+    the real Pallas kernel vs interpret mode — would otherwise ship inside
+    a green BENCH artifact).  Two checks per scenario:
+
+    - drift vs the eager float64 host executor (the dtype-drift oracle,
+      same bounds class as docs/dtype_drift.md, with 4x headroom for
+      TPU-vs-CPU fusion differences);
+    - parity vs the Fortran MAGICC7 golden CSV at the regression suite's
+      own physics tolerances.
+
+    Any violation raises -> bench exits nonzero.
+    """
+    import sys
+
+    sys.path.insert(0, str(os.path.join(os.path.dirname(__file__), "tests")))
+    from regression.helpers import (
+        fourbox_global_mean,
+        get_variable_values,
+        load_regression_data,
+    )
+    from regression.test_ocean_udeb import build_ocean_model, step_forcing
+    from regression.test_ghg_forcing import build_ghg_forcing_model
+
+    # -- ocean_udeb scenario 10 (full default physics incl. Pallas months)
+    df, config = load_regression_data("ocean_udeb", "10_full_default")
+    years, expected_temp = get_variable_values(df, "Surface Temperature")
+    erf = step_forcing(years, config.get("core_delq2xco2", 3.71))
+
+    host = build_ocean_model(config, years, erf)
+    host.run(compiled=False)  # float64 numpy oracle
+    device = build_ocean_model(config, years, erf)
+    device.run(compiled=True)  # float32 XLA + Pallas on the TPU
+
+    def global_temp(model):
+        vals = model.timeseries().get_fourbox_timeseries_by_name(
+            "Surface Temperature"
+        ).values()
+        return fourbox_global_mean(vals)
+
+    t_host = global_temp(host)
+    t_dev = global_temp(device)
+    drift = float(np.max(np.abs(t_dev - t_host)) / np.max(np.abs(t_host)))
+    extra["tpu_golden_drift_ocean10_temperature"] = drift
+    assert drift < 2e-4, (  # 4x the documented 5e-5 CPU-f32 bound
+        f"TPU f32 drift vs f64 host on ocean_udeb/10: {drift:.2e}"
+    )
+    # physics parity vs MAGICC7 (converged-phase check at the regression
+    # suite's tolerance class; indexing matches run_step_scenario)
+    rel = np.abs(t_dev[55:] - expected_temp[55:]) / np.maximum(
+        np.abs(expected_temp[55:]), 1e-3
+    )
+    extra["tpu_golden_ocean10_max_rel_vs_magicc7"] = float(rel.max())
+    assert rel.max() < 5e-2, (
+        f"TPU run diverges from MAGICC7 golden: {rel.max():.3e}"
+    )
+
+    # -- ghg_forcing scenario 01 (analytical forcing, tight tolerance)
+    df, config = load_regression_data("ghg_forcing", "01_concentration_driven")
+    years, expected_co2_erf = get_variable_values(
+        df, "Effective Radiative Forcing|CO2"
+    )
+    _, co2 = get_variable_values(df, "Atmospheric Concentrations|CO2")
+    _, ch4 = get_variable_values(df, "Atmospheric Concentrations|CH4")
+    _, n2o = get_variable_values(df, "Atmospheric Concentrations|N2O")
+
+    host = build_ghg_forcing_model(years, co2, ch4, n2o, config)
+    host.run(compiled=False)
+    device = build_ghg_forcing_model(years, co2, ch4, n2o, config)
+    device.run(compiled=True)
+
+    def co2_erf(model):
+        return np.asarray(
+            model.timeseries()
+            .get_timeseries_by_name("Effective Radiative Forcing|CO2")
+            .values()
+        ).ravel()
+
+    e_host, e_dev = co2_erf(host), co2_erf(device)
+    drift = float(np.max(np.abs(e_dev - e_host)) / np.max(np.abs(e_host)))
+    extra["tpu_golden_drift_ghg01_co2_erf"] = drift
+    assert drift < 2e-5, (  # 4x the documented 5e-6 CPU-f32 bound
+        f"TPU f32 drift vs f64 host on ghg_forcing/01: {drift:.2e}"
+    )
+    # scale-relative vs golden (per-point rtol explodes on the near-zero
+    # 1750s forcing without saying whether the answer moved); f64 parity
+    # is ~3e-6 here (parity_report.csv), f32 drift adds ~2e-7
+    rel = float(
+        np.max(np.abs(e_dev[1:] - expected_co2_erf[:-1]))
+        / np.max(np.abs(expected_co2_erf))
+    )
+    extra["tpu_golden_ghg01_max_rel_vs_magicc7"] = rel
+    assert rel < 1e-4, f"TPU forcing diverges from MAGICC7 golden: {rel:.3e}"
+
+
+def bench_calibration_at_scale(extra):
+    """At-scale on-device calibration: 1024-walker stretch MCMC on a
+    4-parameter flagship model, and 64-chain NUTS — model-evals/s for a
+    realistic calibration, not the 32-walker toy point."""
+    from rscm_tpu.calibrate import (
+        CompiledModelRunner,
+        EnsembleSampler,
+        GaussianLikelihood,
+        NUTSSampler,
+        ParameterSet,
+        Target,
+        Uniform,
+        WalkerInit,
+    )
+
+    model = build_flagship(n_years=151)
+    truth = np.linspace(0.5, 2.0, 151)
+    target = Target()
+    vt = target.add_variable("Surface Temperature")
+    for i in range(10, 151, 10):
+        vt.add(1750.0 + i, float(truth[i]), 0.1)
+
+    runner = CompiledModelRunner(
+        model,
+        param_map={
+            "lambda0": "TwoLayer.lambda0",
+            "eta": "TwoLayer.eta",
+            "tau": "CarbonCycle.tau",
+            "erf_2xco2": "CO2ERF.erf_2xco2",
+        },
+        output_variables=["Surface Temperature"],
+    )
+    params = (
+        ParameterSet()
+        .add("lambda0", Uniform(0.5, 2.5))
+        .add("eta", Uniform(0.3, 1.5))
+        .add("tau", Uniform(10.0, 80.0))
+        .add("erf_2xco2", Uniform(3.0, 4.5))
+    )
+    sampler = EnsembleSampler(params, runner, GaussianLikelihood(), target)
+
+    n_iterations, n_walkers = 200, 1024
+    sampler.run(  # warm-up: trace + compile
+        n_iterations=2, init=WalkerInit.from_prior(), thin=1,
+        n_walkers=n_walkers, seed=7, engine="device",
+    )
+    t0 = time.perf_counter()
+    chain = sampler.run(
+        n_iterations=n_iterations, init=WalkerInit.from_prior(), thin=1,
+        n_walkers=n_walkers, seed=8, engine="device",
+    )
+    steady = time.perf_counter() - t0
+    assert chain.flat_samples(discard=0).shape[0] == n_iterations * n_walkers
+    extra["mcmc_1024walkers_wall_s_200it"] = steady
+    extra["mcmc_1024walkers_model_evals_per_sec"] = (
+        n_iterations * n_walkers / steady
+    )
+
+    # gradient-based NUTS, 64 chains on-device (beyond the reference,
+    # which has no gradient sampler at all)
+    nuts = NUTSSampler(
+        params, runner, GaussianLikelihood(), target, max_tree_depth=6
+    )
+    nuts.run(n_iterations=2, n_chains=64, warmup=2, seed=0)  # warm-up
+    t0 = time.perf_counter()
+    nuts.run(n_iterations=40, n_chains=64, warmup=40, seed=1)
+    steady = time.perf_counter() - t0
+    evals = int(nuts.last_diagnostics["n_model_evals"])
+    extra["nuts_64chains_wall_s"] = steady
+    extra["nuts_64chains_model_evals_per_sec"] = evals / steady
+
+
 def bench_mcmc(extra):
     """On-device stretch-move MCMC: whole loop as one lax.scan on chip."""
     from rscm_tpu.calibrate import (
@@ -336,6 +529,31 @@ def bench_mcmc(extra):
     extra["mcmc_device_model_evals_per_sec"] = n_iterations * n_walkers / steady
 
 
+def smoke():
+    """CI contract check off-TPU: tiny flagship ensemble, one JSON line."""
+    from rscm_tpu.parallel import EnsembleRunner
+
+    model = build_flagship(n_years=24)
+    runner = EnsembleRunner(model)
+    params = runner.batched_params({"TwoLayer.lambda0": np.linspace(0.8, 1.8, 16)})
+    t0 = time.perf_counter()
+    out = runner.run(params=params, out_vars=["Surface Temperature"])
+    temps = np.asarray(out["Surface Temperature"])
+    assert temps.shape == (16, 24, 1) and np.all(np.isfinite(temps))
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "smoke_member_years_per_sec",
+                "value": 16 * 23 / wall,
+                "unit": "member-years/s",
+                "vs_baseline": 0.0,
+                "extra": {"smoke": True, "wall_s_incl_compile": wall},
+            }
+        )
+    )
+
+
 def main():
     import jax
 
@@ -364,9 +582,11 @@ def main():
 
     value = bench_flagship(extra)
     extra["dtype"] = "float32"
+    bench_tpu_golden(extra)  # correctness gate: raises -> rc != 0
     bench_magicc(extra)
     bench_ssp_cross(extra)
     bench_mcmc(extra)
+    bench_calibration_at_scale(extra)
 
     north_star = 100_000 * 550 / 1.0  # 100k members, 1750-2300, <1s
     result = {
@@ -380,4 +600,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--smoke" in sys.argv:
+        smoke()
+    else:
+        main()
