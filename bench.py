@@ -174,8 +174,13 @@ def bench_magicc(extra):
     from rscm_tpu.magicc.coupled import build_magicc_model
     from rscm_tpu.parallel import EnsembleRunner
 
+    # production throughput mode: bfloat16 flux-history storage (f32
+    # accumulation; drift vs f32 storage < 1e-3, pinned by
+    # tests/test_magicc_components.py::test_ocean_bf16_history_close_to_f32)
+    ocean_params = {"history_dtype": "bfloat16"}
+    extra["magicc_ocean_history_dtype"] = "bfloat16"
     for n_members in (10_000, 100_000):
-        model = build_magicc_model()
+        model = build_magicc_model(ocean_params=ocean_params)
         n_years = len(model.time_axis)
         runner = EnsembleRunner(model)
         rng = np.random.default_rng(3)
@@ -213,7 +218,7 @@ def bench_magicc(extra):
     # the BASELINE MAGICC-legacy shape at full ensemble scale: 100k
     # members x 550 years (the 251-yr ensemble above never measured this
     # point directly)
-    model = build_magicc_model(years=years)
+    model = build_magicc_model(years=years, ocean_params=ocean_params)
     n_years = len(model.time_axis)
     runner = EnsembleRunner(model)
     rng = np.random.default_rng(3)
@@ -238,7 +243,9 @@ def bench_magicc(extra):
     # above use it; this extra records the plain-XLA inner-scan engine so
     # the kernel's contribution stays visible round over round
     try:
-        model = build_magicc_model(udeb_params={"month_engine": "xla"})
+        model = build_magicc_model(
+            udeb_params={"month_engine": "xla"}, ocean_params=ocean_params
+        )
         runner = EnsembleRunner(model)
         rng = np.random.default_rng(3)
         n_members = 100_000

@@ -139,6 +139,16 @@ class OceanCarbon(Component):
     delta_ospp_offsets = Parameter(default=DELTA_OSPP_OFFSETS, static=True)
     delta_ospp_coefficients = Parameter(default=DELTA_OSPP_COEFFICIENTS, static=True)
     enable_temp_feedback = Parameter(default=True, static=True)
+    #: storage dtype of the scan-carried flux history ("float32" |
+    #: "bfloat16").  The IRF convolution reads the whole (B, N) history
+    #: every year — at 100k members x 500 years that is ~2.4 GB of HBM
+    #: traffic per model year, the single largest term in the MAGICC
+    #: ensemble's wall-clock.  bfloat16 halves it; the convolution still
+    #: accumulates in float32 (preferred_element_type), and the ~3000-term
+    #: sum averages the 0.4% per-element rounding down to ~1e-4 relative
+    #: (measured in tests/test_dtype_drift.py).  Traced path only; the
+    #: float64 host path always stores full precision.
+    history_dtype = Parameter(default="float32", static=True)
 
     @classmethod
     def from_parameters(cls, parameters: dict):
@@ -316,7 +326,12 @@ class OceanCarbon(Component):
         # static indices; plain indexing works on numpy AND traced arrays
         # (run_fn applies this in-graph as a one-time gather)
         ages = (c0 - 1 - np.arange(n)) % n
-        return {**state, "flux_history": state["flux_history"][ages]}
+        history = state["flux_history"][ages]
+        if self.history_dtype == "bfloat16":
+            import jax.numpy as jnp
+
+            history = jnp.asarray(history, dtype=jnp.bfloat16)
+        return {**state, "flux_history": history}
 
     def unpack_scan_state(self, state, end_idx: int):
         """Scan (circular) -> host (newest-first) layout after the run
@@ -325,7 +340,12 @@ class OceanCarbon(Component):
         steps = int(self.steps_per_year)
         c_end = int(end_idx) * steps
         slots = (c_end - 1 - np.arange(n)) % n
-        return {**state, "flux_history": state["flux_history"][slots]}
+        history = state["flux_history"][slots]
+        if self.history_dtype == "bfloat16":
+            import jax.numpy as jnp
+
+            history = jnp.asarray(history, dtype=jnp.float32)
+        return {**state, "flux_history": history}
 
     def _monthly_substeps(self, old_contrib, g_new, co2_atm, delta_sst,
                           pco2_initial, cumulative_initial, dt):
@@ -372,7 +392,11 @@ class OceanCarbon(Component):
 
         flux_history = jnp.asarray(flux_history)
         dtype = flux_history.dtype
-        g_new = jnp.asarray(irf_np[:steps], dtype=dtype)
+        # compute dtype stays f32 when the history is stored bf16: only
+        # the (B, N) buffer read pays the reduced precision; the 12-term
+        # new-flux part and all carbonate chemistry run full precision
+        compute_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+        g_new = jnp.asarray(irf_np[:steps], dtype=compute_dtype)
 
         # W(c)[p, m-1] = irf(age of slot p at this year's month m), ages
         # beyond the window hitting a zero pad.  The age of slot p is
@@ -390,7 +414,10 @@ class OceanCarbon(Component):
         months = jnp.arange(1, steps + 1, dtype=jnp.int32)
         r = (c - 1) % n
         weights = jnp.roll(w_base, r, axis=0)
-        old_contrib = flux_history @ weights  # (steps,) per member
+        # (steps,) per member; accumulate in f32 regardless of storage dtype
+        old_contrib = jnp.matmul(
+            flux_history, weights, preferred_element_type=compute_dtype
+        )
 
         new_fluxes, pco2_ocn, cumulative, total_flux_gtc = (
             self._monthly_substeps(

@@ -573,19 +573,38 @@ class ClimateUDEB(Component):
         fgno, fgnl, fgso, fgsl = self.global_box_fractions()
         from .lamcalc import LamcalcParams
 
+        # engine resolution happens before LAMCALC: the Pallas path also
+        # runs the per-year LAMCALC iteration as a VMEM kernel
+        # (ops/lamcalc_kernel.py) — as an XLA while_loop it was ~35% of
+        # the 100k MAGICC ensemble's wall-clock
+        month_engine = self.month_engine
+        if month_engine == "auto":
+            import jax
+
+            month_engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+
         if self.time_varying_ecs:
-            lam_o, lam_l, _inv, co2_eff = lamcalc_traced(
-                LamcalcParams(
-                    q_2xco2=self.rf_2xco2, k_lo=self.k_lo, k_ns=self.k_ns,
-                    ecs=adjusted_ecs, rlo=self.rlo,
-                    amplify_ocean_to_land=self.amplify_ocean_to_land,
-                    fgno=fgno, fgnl=fgnl, fgso=fgso, fgsl=fgsl,
-                    rf_regions_co2=tuple(self.rf_regions_co2),
-                ),
-                adjusted_ecs,
-                (self.lambda_ocean, self.lambda_land, self.matrix_inverse,
-                 self.co2_internal_efficacy),
+            lamcalc_params = LamcalcParams(
+                q_2xco2=self.rf_2xco2, k_lo=self.k_lo, k_ns=self.k_ns,
+                ecs=adjusted_ecs, rlo=self.rlo,
+                amplify_ocean_to_land=self.amplify_ocean_to_land,
+                fgno=fgno, fgnl=fgnl, fgso=fgso, fgsl=fgsl,
+                rf_regions_co2=tuple(self.rf_regions_co2),
             )
+            lamcalc_fallback = (
+                self.lambda_ocean, self.lambda_land, self.matrix_inverse,
+                self.co2_internal_efficacy,
+            )
+            if month_engine == "pallas":
+                from rscm_tpu.ops.lamcalc_kernel import lamcalc_scalars
+
+                lam_o, lam_l, co2_eff = lamcalc_scalars(
+                    lamcalc_params, adjusted_ecs, lamcalc_fallback
+                )
+            else:
+                lam_o, lam_l, _inv, co2_eff = lamcalc_traced(
+                    lamcalc_params, adjusted_ecs, lamcalc_fallback
+                )
         else:
             lam_o = C(self.lambda_ocean)
             lam_l = C(self.lambda_land)
@@ -790,11 +809,6 @@ class ClimateUDEB(Component):
 
         hemi_exchange = jnp.asarray(state["hemi_heat_exchange"])
         upwelling = jnp.asarray(state["upwelling_rates"])
-        month_engine = self.month_engine
-        if month_engine == "auto":
-            import jax
-
-            month_engine = "pallas" if jax.default_backend() == "tpu" else "xla"
         if month_engine == "pallas":
             from rscm_tpu.ops import udeb_year_update
 

@@ -116,8 +116,16 @@ def build_magicc_schema(emissions: dict) -> VariableSchema:
 
 
 def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
-                       udeb_params: dict = None):
-    """Build the ten-component emissions-driven MAGICC-style model."""
+                       udeb_params: dict = None, ocean_params: dict = None):
+    """Build the ten-component emissions-driven MAGICC-style model.
+
+    The ocean-carbon flux-history window is sized to the run length
+    (slots beyond it would stay zero forever — the default 500-year
+    window doubles the dominant HBM read of short-horizon ensembles for
+    no effect); pass ``ocean_params`` to override any OceanCarbon
+    parameter, e.g. ``{"history_dtype": "bfloat16"}`` for the
+    half-traffic production mode.
+    """
     from rscm_tpu.magicc import (
         AerosolDirect,
         AerosolIndirect,
@@ -164,7 +172,14 @@ def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
         .with_component(AerosolIndirect())
         .with_component(ClimateUDEB(ecs=ecs, **(udeb_params or {})))
         .with_component(TerrestrialCarbon())
-        .with_component(OceanCarbon())
+        .with_component(
+            OceanCarbon(
+                **{
+                    "max_history_months": 12 * (len(years) + 1),
+                    **(ocean_params or {}),
+                }
+            )
+        )
         .with_component(CO2Budget())
     )
     for name, (values, unit) in emissions.items():

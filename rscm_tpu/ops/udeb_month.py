@@ -17,10 +17,12 @@ Physics is a line-for-line transcription of the traced month loop in
 a trailing lane axis for the batch tile.  Differential tests drive whole
 models through both engines (``tests/test_udeb_pallas.py``).
 
-Layout: batch on lanes (tile 128), layers on sublanes.  Per-member
-scalars arrive packed as one ``(S, B)`` matrix so the kernel signature
-stays small; static geometry (area factors, layer spacing, box fractions)
-is closed over as compile-time constants.
+Layout: members tile a full ``(TILE_SUB, TILE_LANES)`` = (8, 256) VPU
+granule block (sublanes AND lanes), so every per-(hemisphere, layer) row
+op is granule-dense; layers index the leading block rows.  Per-member
+scalars arrive packed as one ``(S, 8, B/8)`` array so the kernel
+signature stays small; static geometry (area factors, layer spacing, box
+fractions) is closed over as compile-time float literals.
 
 Batching: the component's solve runs per-member under ``vmap``; a
 ``jax.custom_batching.custom_vmap`` wrapper routes the batched call to
@@ -45,12 +47,19 @@ SCALAR_ROWS = (
 )
 S = len(SCALAR_ROWS)
 
-#: lanes per batch tile. 128 is the VPU lane width; 512 measured fastest
-#: on v5e for the 50-layer columns (wider rows amortize per-op overhead,
-#: VMEM stays ~4 MB/tile; 1024 regresses).  100k-member x 150-year UDEB
-#: ensemble: XLA month scan 3.32 s, this kernel 1.65 s (2.0x), engine
-#: agreement 2.9e-6 in f32.
-TILE_B = 512
+#: batch-tile geometry: members map to a full (8 sublane, TILE_LANES lane)
+#: VPU tile, so every per-(hemisphere, layer) row op is granule-dense.
+#: The previous layout kept members on lanes only — per-layer rows were
+#: (2, 512), using 2 of 8 sublanes (25% VPU efficiency); with the member
+#: sublane axis each row op is (2, 8, L) = fully-packed granules.
+#: Measured (100k x 251-yr MAGICC ensemble, TPU v5e): whole-model wall
+#: 3.31 s -> 1.58 s, i.e. the kernel's share dropped ~8x (1.97 s ->
+#: ~0.25 s; bigger tiles also cut per-op overhead 8x).
+#: (8, 512) tiles exceed the 16 MB scoped-VMEM limit (18.8 MB with the
+#: month body's live temporaries); (8, 256) fits with double buffering.
+TILE_SUB = 8
+TILE_LANES = 256
+TILE_B = TILE_SUB * TILE_LANES
 
 
 @dataclass(frozen=True)
@@ -99,11 +108,17 @@ def _month_body(st: UdebStatic, jnp, jax, scal, ocean, land, ground, hemi,
     inv_dz_dzup = [float(v) for v in st.inv_dz_dzup]
     q0, q1, q2, q3 = st.qfrac
 
-    # hemisphere selector (2, 1): literals only, no captured consts
-    hemi0 = jax.lax.broadcasted_iota(jnp.int32, (2, 1), 0) == 0
+    # hemisphere selector, shape (2, 1, ...) matching the member dims:
+    # literals only, no captured consts.  The body is shape-polymorphic in
+    # the trailing member axes — (T,) rows in the jnp reference path,
+    # (TILE_SUB, L) granule-dense tiles in the kernel.
+    member_ndim = ocean.ndim - 2
+    hemi0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (2,) + (1,) * member_ndim, 0) == 0
+    )
 
     def per_hemi(a, b):
-        return jnp.where(hemi0, a, b)  # (2, 1)
+        return jnp.where(hemi0, a, b)
 
     f_l_c = per_hemi(f_l0, f_l1)
     f_o_c = per_hemi(f_o0, f_o1)
@@ -150,8 +165,8 @@ def _month_body(st: UdebStatic, jnp, jax, scal, ocean, land, ground, hemi,
     forcing_amp = 1.0 + sc["k_lo"] * f_l_c / denominator
     term_upwell_layer = w / dz * dt_sub  # (2, T)
 
-    delta_w = w - sc["w_initial"][None, :]  # (2, T)
-    t_polar = sc["t_polar"][None, :]  # (1, T)
+    delta_w = w - sc["w_initial"][None]  # (2, members...)
+    t_polar = sc["t_polar"][None]  # (1, members...)
 
     # row 0 (mixed layer)
     b0 = (
@@ -213,7 +228,7 @@ def _month_body(st: UdebStatic, jnp, jax, scal, ocean, land, ground, hemi,
     x[n - 1] = d_prime[n - 1]
     for i in range(n - 2, -1, -1):
         x[i] = d_prime[i] - c_prime[i] * x[i + 1]
-    ocean = jnp.minimum(jnp.stack(x, axis=1), sc["max_temp"][None, None, :])
+    ocean = jnp.minimum(jnp.stack(x, axis=1), sc["max_temp"][None, None])
 
     # -- land / exchange / upwelling ----------------------------------------
     def sst_to_air(sst):
@@ -255,9 +270,9 @@ def _month_body(st: UdebStatic, jnp, jax, scal, ocean, land, ground, hemi,
     )
     w_thresh = jnp.stack([scal[S], scal[S + 1]])  # appended rows (see pack)
     w_min = sc["w_initial"] * (1.0 - sc["w_var_frac"])
-    ratios = jnp.minimum(global_temp[None, :] / w_thresh, 1.0)
+    ratios = jnp.minimum(global_temp[None] / w_thresh, 1.0)
     upwell = jnp.maximum(
-        sc["w_initial"] * (1.0 - sc["w_var_frac"] * ratios), w_min[None, :]
+        sc["w_initial"] * (1.0 - sc["w_var_frac"] * ratios), w_min[None]
     )
     return ocean, land, ground, hemi, upwell
 
@@ -269,9 +284,12 @@ def _build_kernel(st: UdebStatic):
     n, steps = st.n, st.steps
 
     def kernel(scal_ref, ocean_ref, init_ref, vec_ref, ocean_out, vec_out):
-        scal = scal_ref[:]  # (S+2, T)
-        ocean = ocean_ref[:].reshape(2, n, ocean_ref.shape[-1])
-        init_prof = init_ref[:].reshape(2, n, init_ref.shape[-1])
+        # blocks are (rows, TILE_SUB, L): members fill whole (8, 128k)
+        # granules, so per-(hemisphere, layer) row ops are VPU-dense
+        scal = scal_ref[:]  # (S+2, 8, L)
+        sub, lanes = scal.shape[-2], scal.shape[-1]
+        ocean = ocean_ref[:].reshape(2, n, sub, lanes)
+        init_prof = init_ref[:].reshape(2, n, sub, lanes)
         land = vec_ref[0:2]
         ground = vec_ref[2:4]
         hemi = vec_ref[4:6]
@@ -284,7 +302,7 @@ def _build_kernel(st: UdebStatic):
                 alpha_eff, init_prof, m / steps,
             )
 
-        ocean_out[:] = ocean.reshape(2 * n, ocean.shape[-1])
+        ocean_out[:] = ocean.reshape(2 * n, sub, lanes)
         vec_out[0:2] = land
         vec_out[2:4] = ground
         vec_out[4:6] = hemi
@@ -338,8 +356,25 @@ def _months_jnp(st: UdebStatic, scal, ocean_flat, init_flat, vec):
     )
 
 
+def _tile_geometry(b: int, interpret: bool):
+    """(sublanes, lanes) of the member tile for a batch of ``b``.
+
+    Interpret mode (CPU tests) and small batches use small tiles so the
+    batch-of-1 primal doesn't pad to a full production tile; at ensemble
+    scale the full (8, 512) tile (4096 members) amortizes per-op overhead
+    and keeps every row op granule-dense.
+    """
+    if interpret:
+        return 1, 128
+    if b < TILE_B:
+        return TILE_SUB, 128
+    return TILE_SUB, TILE_LANES
+
+
 @functools.lru_cache(maxsize=32)
-def _build_caller(st: UdebStatic, dtype_str: str, interpret: bool):
+def _build_caller(
+    st: UdebStatic, dtype_str: str, interpret: bool, tile_sub: int, tile_lanes: int
+):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -350,13 +385,14 @@ def _build_caller(st: UdebStatic, dtype_str: str, interpret: bool):
     kernel = _build_kernel(st)
 
     def call(scal, ocean_flat, init_flat, vec):
-        b = ocean_flat.shape[-1]
-        grid = (pl.cdiv(b, TILE_B),)
+        # operands arrive as (rows, tile_sub, b8) with b8 % tile_lanes == 0
+        b8 = ocean_flat.shape[-1]
+        grid = (b8 // tile_lanes,)
 
-        def lane_spec(rows):
+        def tile_spec(rows):
             return pl.BlockSpec(
-                (rows, TILE_B),
-                lambda i: (0, i),
+                (rows, tile_sub, tile_lanes),
+                lambda i: (0, 0, i),
                 memory_space=pltpu.VMEM,
             )
 
@@ -364,15 +400,15 @@ def _build_caller(st: UdebStatic, dtype_str: str, interpret: bool):
             kernel,
             grid=grid,
             in_specs=[
-                lane_spec(S + 2),
-                lane_spec(2 * n),
-                lane_spec(2 * n),
-                lane_spec(10),
+                tile_spec(S + 2),
+                tile_spec(2 * n),
+                tile_spec(2 * n),
+                tile_spec(10),
             ],
-            out_specs=[lane_spec(2 * n), lane_spec(8)],
+            out_specs=[tile_spec(2 * n), tile_spec(8)],
             out_shape=[
-                jax.ShapeDtypeStruct((2 * n, b), dtype),
-                jax.ShapeDtypeStruct((8, b), dtype),
+                jax.ShapeDtypeStruct((2 * n, tile_sub, b8), dtype),
+                jax.ShapeDtypeStruct((8, tile_sub, b8), dtype),
             ],
             interpret=interpret,
         )(scal, ocean_flat, init_flat, vec)
@@ -436,14 +472,28 @@ def _get_member_fn(st: UdebStatic, interpret: bool):
     def batched_impl(scalars_b, ocean_b, init_b, vec_b):
         b = scalars_b.shape[0]
         dtype = jnp.result_type(ocean_b)
-        pad = (-b) % TILE_B
-        caller = _build_caller(st, str(np.dtype(dtype)), interpret)
+        tile_sub, tile_lanes = _tile_geometry(b, interpret)
+        pad = (-b) % (tile_sub * tile_lanes)
+        padded = b + pad
+        caller = _build_caller(
+            st, str(np.dtype(dtype)), interpret, tile_sub, tile_lanes
+        )
 
         def prep(x, rows):
+            # (b, rows) -> (rows, padded) -> (rows, tile_sub, padded/sub):
+            # member m lands at (sub = m // (padded/sub), lane = m % ...);
+            # padding lanes sit at the tail of the last sublane and are
+            # sliced away after unprep (lanes never mix)
             x = jnp.asarray(x, dtype).reshape(b, rows).T  # (rows, b)
             if pad:
                 x = jnp.pad(x, ((0, 0), (0, pad)))
-            return x
+            return x.reshape(rows, tile_sub, padded // tile_sub)
+
+        def unprep(x, rows):
+            x = x.reshape(rows, padded)
+            if pad:
+                x = x[:, :b]
+            return x.T
 
         n = st.n
         scal = prep(scalars_b, S + 2)
@@ -451,10 +501,10 @@ def _get_member_fn(st: UdebStatic, interpret: bool):
         init_flat = prep(init_b, 2 * n)
         vec = prep(vec_b, 10)
         out_ocean, out_vec = caller(scal, ocean_flat, init_flat, vec)
-        if pad:
-            out_ocean = out_ocean[:, :b]
-            out_vec = out_vec[:, :b]
-        return out_ocean.T.reshape(b, 2, n), out_vec.T
+        return (
+            unprep(out_ocean, 2 * n).reshape(b, 2, n),
+            unprep(out_vec, 8),
+        )
 
     @custom_batching.custom_vmap
     def core(scalars, ocean, init_prof, vec):

@@ -629,3 +629,35 @@ class TestMagicc7ChemistryExtensions:
         # after the switch the Prather update must take over (diverges)
         assert abs(h[6] - prescribed[6]) > 1.0
         np.testing.assert_allclose(c, h, rtol=1e-6)
+
+
+def test_ocean_bf16_history_close_to_f32():
+    """history_dtype='bfloat16' (half-traffic production mode) stays
+    within ~1e-3 of the float32 history on a coupled run: the convolution
+    accumulates in f32 and the ~N-term sum averages the storage rounding
+    down (see OceanCarbon.history_dtype)."""
+    import jax
+
+    from rscm_tpu.magicc.coupled import build_magicc_model
+
+    years = np.arange(1900.0, 1981.0)
+
+    def run(history_dtype):
+        model = build_magicc_model(
+            years=years, ocean_params={"history_dtype": history_dtype}
+        )
+        model.run(compiled=True)
+        ts = model.timeseries()
+        return (
+            np.asarray(ts.get_timeseries_by_name("Atmospheric Concentration|CO2").values()),
+            np.asarray(ts.get_timeseries_by_name("Carbon Flux|Ocean").values()),
+        )
+
+    co2_32, flux_32 = run("float32")
+    co2_16, flux_16 = run("bfloat16")
+    co2_drift = np.max(np.abs(co2_16 - co2_32)) / np.max(np.abs(co2_32))
+    flux_drift = np.max(np.abs(flux_16[1:] - flux_32[1:])) / np.max(
+        np.abs(flux_32[1:])
+    )
+    assert co2_drift < 1e-3, f"bf16 history CO2 drift {co2_drift:.2e}"
+    assert flux_drift < 5e-3, f"bf16 history flux drift {flux_drift:.2e}"
