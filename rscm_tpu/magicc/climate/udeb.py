@@ -285,6 +285,25 @@ class ClimateUDEB(Component):
             "mixed_layer_initial_temp": float(profiles[0][0]),
         }
 
+    # -- scan-layout hooks -----------------------------------------------------
+    #
+    # Inside the fused scan the cumulative-temperature ring is CIRCULAR
+    # (slot p holds the entry of the latest year ≡ p mod capacity), so a
+    # year writes one slot instead of shifting the whole (B, capacity)
+    # buffer — the shift was ~0.31 s of the 100k x 251-yr ensemble.  The
+    # host-visible contract stays newest-first; the program converts once
+    # at entry/exit via these hooks (mirror of OceanCarbon's flux ring).
+
+    def pack_scan_state(self, state, start_idx: int):
+        cap = int(self.history_capacity)
+        slots = (int(start_idx) - 1 - np.arange(cap)) % cap
+        return {**state, "th_values": state["th_values"][slots]}
+
+    def unpack_scan_state(self, state, end_idx: int):
+        cap = int(self.history_capacity)
+        ages = (int(end_idx) - 1 - np.arange(cap)) % cap
+        return {**state, "th_values": state["th_values"][ages]}
+
     # -- physics pieces (udeb/mod.rs, udeb/ocean_column.rs) --------------------
 
     def apply_efficacy_and_qfrac(self, erf, co2_efficacy):
@@ -556,7 +575,20 @@ class ClimateUDEB(Component):
         weights[: min(n_full, capacity)] = 1.0
         if n_full < capacity and frac > 0:
             weights[n_full] = frac
-        cum_t = jnp.dot(jnp.asarray(state["th_values"]), C(weights))
+        if getattr(ctx, "scan_mode", False):
+            # circular layout inside the fused scan (see pack_scan_state):
+            # slot p holds the entry of age (idx-1-p) mod capacity, so the
+            # newest-first weights are read through a roll by the
+            # (unbatched) step index — the newest-first shift of the
+            # (B, capacity) buffer was the single largest data-movement
+            # term of the 100k MAGICC ensemble (~0.31 s/run: one whole-
+            # buffer copy + concat per year)
+            w_base = weights[(-1 - np.arange(capacity)) % capacity]
+            idx = jnp.asarray(ctx.step_index, dtype=jnp.int32)
+            weights_circ = jnp.roll(C(w_base), idx)
+            cum_t = jnp.dot(jnp.asarray(state["th_values"]), weights_circ)
+        else:
+            cum_t = jnp.dot(jnp.asarray(state["th_values"]), C(weights))
 
         cumt_2x = self.ecs * period
         erf_mid = (erf_start + erf_end) / 2.0
@@ -877,11 +909,22 @@ class ClimateUDEB(Component):
 
         from rscm_tpu.core import xmath as xm
 
+        if getattr(ctx, "scan_mode", False):
+            # circular: one slot write instead of a whole-buffer shift
+            slot = jnp.asarray(ctx.step_index, dtype=jnp.int32) % int(
+                self.history_capacity
+            )
+            new_th_values = (
+                jnp.asarray(state["th_values"]).at[slot].set(global_temp * dt_year)
+            )
+        else:
+            new_th_values = xm.push_front(
+                jnp.asarray(state["th_values"]), global_temp * dt_year
+            )
         new_state = {
             "ocean_temps": ocean_temps,
             "upwelling_rates": upwelling,
-            "th_values": xm.push_front(jnp.asarray(state["th_values"]),
-                                       global_temp * dt_year),
+            "th_values": new_th_values,
             "th_dts": xm.push_front(jnp.asarray(state["th_dts"]), dt_year),
             "land_temps": land_temps,
             "ground_temps": ground_temps,
