@@ -184,6 +184,24 @@ class ModelProgram:
 
         return step_fn
 
+    @property
+    def _uniform_dt(self):
+        """The axis step if the time axis is uniform, else None.
+
+        Passed to the scan-layout hooks: recursive window summaries (e.g.
+        ClimateUDEB's running cumulative-temperature sum) are only valid
+        when every step covers the same span; on a non-uniform axis the
+        hooks skip them and the components fall back to the windowed dot.
+        """
+        if not hasattr(self, "_uniform_dt_cache"):
+            dts = np.diff(np.asarray(self.time_values, dtype=np.float64))
+            self._uniform_dt_cache = (
+                float(dts[0])
+                if dts.size and np.allclose(dts, dts[0], rtol=1e-12, atol=0.0)
+                else None
+            )
+        return self._uniform_dt_cache
+
     def _pack_internals(self, internals, start_idx: int):
         """Apply components' scan-layout packing in-graph (static-index
         gathers — one-time cost at program entry).  The hooks are written
@@ -195,7 +213,9 @@ class ModelProgram:
             comp = self.model.graph.nodes[node]
             key = str(node)
             if out.get(key) is not None and hasattr(comp, "pack_scan_state"):
-                out[key] = comp.pack_scan_state(out[key], start_idx)
+                out[key] = comp.pack_scan_state(
+                    out[key], start_idx, dt=self._uniform_dt
+                )
         return out
 
     def _unpack_internals(self, internals, end_idx: int):
@@ -204,7 +224,9 @@ class ModelProgram:
             comp = self.model.graph.nodes[node]
             key = str(node)
             if out.get(key) is not None and hasattr(comp, "unpack_scan_state"):
-                out[key] = comp.unpack_scan_state(out[key], end_idx)
+                out[key] = comp.unpack_scan_state(
+                    out[key], end_idx, dt=self._uniform_dt
+                )
         return out
 
     def run_fn(self, endo, exo, params, internals, start_idx: int = 0):

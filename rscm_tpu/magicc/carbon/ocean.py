@@ -313,7 +313,7 @@ class OceanCarbon(Component):
     # pack/unpack hooks below, so checkpoints, the eager path and the
     # reference semantics never see the circular layout.
 
-    def pack_scan_state(self, state, start_idx: int):
+    def pack_scan_state(self, state, start_idx: int, dt=None):
         """Host (newest-first) -> scan (circular) layout, entering at
         ``start_idx`` (called once by ModelProgram.gather_internals).
 
@@ -333,7 +333,7 @@ class OceanCarbon(Component):
             history = jnp.asarray(history, dtype=jnp.bfloat16)
         return {**state, "flux_history": history}
 
-    def unpack_scan_state(self, state, end_idx: int):
+    def unpack_scan_state(self, state, end_idx: int, dt=None):
         """Scan (circular) -> host (newest-first) layout after the run
         finished at ``end_idx`` (called once by run_into_collection)."""
         n = int(self.max_history_months)

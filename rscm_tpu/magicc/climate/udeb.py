@@ -294,15 +294,61 @@ class ClimateUDEB(Component):
     # host-visible contract stays newest-first; the program converts once
     # at entry/exit via these hooks (mirror of OceanCarbon's flux ring).
 
-    def pack_scan_state(self, state, start_idx: int):
+    def _cumt_window(self, dt_year: float):
+        """Static feedback window: (n_eff, frac, newest-first weights).
+
+        ``n_eff`` whole entries get weight 1 and the entry aged ``n_eff``
+        gets the fractional remainder (zero when the window is clamped to
+        the ring capacity) — the discretisation of the cumulative-
+        temperature feedback period under a uniform ``dt``.
+        """
+        cap = int(self.history_capacity)
+        period = self.feedback_cumt_period
+        n_full = int(period // dt_year)
+        frac = (period - n_full * dt_year) / dt_year
+        n_eff = min(n_full, cap)
+        if n_full >= cap:
+            frac = 0.0
+        weights = np.zeros(cap)
+        weights[:n_eff] = 1.0
+        if frac > 0:
+            weights[n_eff] = frac
+        return n_eff, frac, weights
+
+    def pack_scan_state(self, state, start_idx: int, dt=None):
         cap = int(self.history_capacity)
         slots = (int(start_idx) - 1 - np.arange(cap)) % cap
-        return {**state, "th_values": state["th_values"][slots]}
+        out = {**state, "th_values": state["th_values"][slots]}
+        if dt is not None:
+            # seed the running boxcar sum: inside the scan the windowed
+            # part of cum_t is a recursion (add the new entry, subtract
+            # the entry aging out — two ring slots) instead of a
+            # (B, capacity) dot every year, with a Kahan compensation
+            # term so the running sum does not drift in float32.  Only
+            # valid under a uniform axis; otherwise the solve falls back
+            # to the dot (the absence of this key is the signal).
+            n_eff, _, _ = self._cumt_window(float(dt))
+            th = state["th_values"]
+            boxcar = np.ones(cap)
+            boxcar[n_eff:] = 0.0
+            if hasattr(th, "dtype"):
+                # pin to the carry dtype: a float64 numpy weight vector
+                # would promote an f32 program's running sum
+                boxcar = boxcar.astype(np.dtype(th.dtype))
+            from rscm_tpu.core import xmath as xm
 
-    def unpack_scan_state(self, state, end_idx: int):
+            s0 = xm.dot(th, boxcar)
+            out["th_cumsum"] = s0
+            out["th_cumsum_c"] = s0 * 0.0
+        return out
+
+    def unpack_scan_state(self, state, end_idx: int, dt=None):
         cap = int(self.history_capacity)
         ages = (int(end_idx) - 1 - np.arange(cap)) % cap
-        return {**state, "th_values": state["th_values"][ages]}
+        out = {**state, "th_values": state["th_values"][ages]}
+        out.pop("th_cumsum", None)
+        out.pop("th_cumsum_c", None)
+        return out
 
     # -- physics pieces (udeb/mod.rs, udeb/ocean_column.rs) --------------------
 
@@ -569,20 +615,27 @@ class ClimateUDEB(Component):
         # feedback period under the uniform dt
         period = self.feedback_cumt_period
         capacity = int(self.history_capacity)
-        n_full = int(period // dt_year)
-        frac = (period - n_full * dt_year) / dt_year
-        weights = np.zeros(capacity)
-        weights[: min(n_full, capacity)] = 1.0
-        if n_full < capacity and frac > 0:
-            weights[n_full] = frac
-        if getattr(ctx, "scan_mode", False):
+        n_eff, frac, weights = self._cumt_window(dt_year)
+        scan_mode = getattr(ctx, "scan_mode", False)
+        if scan_mode and "th_cumsum" in state:
+            # running boxcar sum carried across years (seeded by
+            # pack_scan_state): the windowed part of cum_t reads one
+            # scalar carry; only the fractional-age entry still touches
+            # the ring (one slot) — the (B, capacity) dot it replaces was
+            # ~7% of the 100k MAGICC ensemble's wall-clock
+            idx = jnp.asarray(ctx.step_index, dtype=jnp.int32)
+            cum_t = jnp.asarray(state["th_cumsum"])
+            if frac > 0:
+                slot_frac = (idx - 1 - n_eff) % capacity
+                cum_t = cum_t + C(frac) * jnp.asarray(state["th_values"])[
+                    slot_frac
+                ]
+        elif scan_mode:
             # circular layout inside the fused scan (see pack_scan_state):
             # slot p holds the entry of age (idx-1-p) mod capacity, so the
             # newest-first weights are read through a roll by the
-            # (unbatched) step index — the newest-first shift of the
-            # (B, capacity) buffer was the single largest data-movement
-            # term of the 100k MAGICC ensemble (~0.31 s/run: one whole-
-            # buffer copy + concat per year)
+            # (unbatched) step index — used when the axis is non-uniform
+            # and the running sum is unavailable
             w_base = weights[(-1 - np.arange(capacity)) % capacity]
             idx = jnp.asarray(ctx.step_index, dtype=jnp.int32)
             weights_circ = jnp.roll(C(w_base), idx)
@@ -909,14 +962,13 @@ class ClimateUDEB(Component):
 
         from rscm_tpu.core import xmath as xm
 
-        if getattr(ctx, "scan_mode", False):
+        if scan_mode:
             # circular: one slot write instead of a whole-buffer shift
             slot = jnp.asarray(ctx.step_index, dtype=jnp.int32) % int(
                 self.history_capacity
             )
-            new_th_values = (
-                jnp.asarray(state["th_values"]).at[slot].set(global_temp * dt_year)
-            )
+            new_entry = global_temp * dt_year
+            new_th_values = jnp.asarray(state["th_values"]).at[slot].set(new_entry)
         else:
             new_th_values = xm.push_front(
                 jnp.asarray(state["th_values"]), global_temp * dt_year
@@ -934,6 +986,28 @@ class ClimateUDEB(Component):
             "polar_sinking_temp": state["polar_sinking_temp"],
             "mixed_layer_initial_temp": state["mixed_layer_initial_temp"],
         }
+        if scan_mode and "th_cumsum" in state:
+            # advance the running boxcar sum: add this year's entry,
+            # retire the entry aging out of the window (read from the
+            # PRE-update ring — when n_eff == capacity the retiring slot
+            # is the one just overwritten).  Kahan-compensated so the
+            # float32 recursion stays at rounding-level agreement with
+            # the per-year dot over arbitrarily long runs.
+            s_prev = jnp.asarray(state["th_cumsum"])
+            c_prev = jnp.asarray(state["th_cumsum_c"])
+            if n_eff > 0:
+                retiring = jnp.asarray(state["th_values"])[
+                    (jnp.asarray(ctx.step_index, dtype=jnp.int32) - n_eff)
+                    % capacity
+                ]
+                d = (new_entry - retiring) - c_prev
+                s_next = s_prev + d
+                c_next = (s_next - s_prev) - d
+                new_state["th_cumsum"] = s_next
+                new_state["th_cumsum_c"] = c_next
+            else:
+                new_state["th_cumsum"] = s_prev
+                new_state["th_cumsum_c"] = c_prev
 
         forcing_end = apply_forcing(erf_end)
         lambdas = C([1.0, 0.0, 1.0, 0.0]) * lam_o + C(
