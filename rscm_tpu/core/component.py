@@ -165,16 +165,39 @@ class State:
         return RequirementDefinition(self.name, self.unit, RequirementType.State, _parse_grid(self.grid))
 
 
+class _Required:
+    """Sentinel distinguishing "no default declared" (required — mirrors the
+    reference's non-Option serde fields, which fail deserialization when
+    absent) from an explicit ``default=None`` (optional — mirrors Option
+    fields defaulting to None)."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self):
+        return "<required>"
+
+
+REQUIRED = _Required()
+
+
 @dataclass(frozen=True)
 class Parameter:
     """Declare a numeric parameter traced into the compiled program.
 
     ``default`` may be a float or an array-like; ``static=True`` keeps the
     parameter out of the traced pytree (baked into the program — use for
-    integers/flags that select code paths).
+    integers/flags that select code paths).  Omitting ``default`` marks the
+    parameter required: ``from_parameters`` raises ``missing field`` when it
+    is absent, and direct construction warns at model build time.  An
+    explicit ``default=None`` declares an *optional* parameter.
     """
 
-    default: Any = None
+    default: Any = REQUIRED
     description: str = ""
     unit: str = ""
     static: bool = False
@@ -370,7 +393,13 @@ class Component(metaclass=ComponentMeta):
 
     def __init__(self, **params):
         for pname, decl in self._component_parameters.items():
-            setattr(self, pname, params.pop(pname, decl.default))
+            value = params.pop(pname, decl.default)
+            if value is REQUIRED:
+                # unset required parameter: keep the attribute None so run
+                # semantics stay print-and-skip (runtime.rs:493-495); the
+                # builder warns at build time (_warn_unset_parameters)
+                value = None
+            setattr(self, pname, value)
         if params:
             raise TypeError(
                 f"Unknown parameters for {type(self).__name__}: {sorted(params)}"
@@ -418,7 +447,7 @@ class Component(metaclass=ComponentMeta):
 
         known = cls._component_parameters
         for pname, decl in known.items():
-            if decl.default is None and pname not in parameters:
+            if decl.default is REQUIRED and pname not in parameters:
                 provided = {
                     cls.parameter_aliases.get(k, k) for k in parameters
                 }
@@ -611,7 +640,7 @@ class Component(metaclass=ComponentMeta):
             "parameters": [
                 {
                     "name": pname,
-                    "default": decl.default,
+                    "default": None if decl.default is REQUIRED else decl.default,
                     "unit": decl.unit,
                     "description": decl.description,
                 }

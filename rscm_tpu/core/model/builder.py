@@ -79,10 +79,12 @@ def _warn_unset_parameters(component, component_name: str) -> None:
     """
     import warnings
 
+    from rscm_tpu.core.component import REQUIRED
+
     unset = [
         pname
         for pname, decl in getattr(component, "_component_parameters", {}).items()
-        if decl.default is None and getattr(component, pname, None) is None
+        if decl.default is REQUIRED and getattr(component, pname, None) is None
     ]
     if unset:
         warnings.warn(
