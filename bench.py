@@ -174,10 +174,17 @@ def bench_magicc(extra):
     from rscm_tpu.magicc.coupled import build_magicc_model
     from rscm_tpu.parallel import EnsembleRunner
 
-    # production throughput mode: bfloat16 flux-history storage (f32
-    # accumulation; drift vs f32 storage < 1e-3, pinned by
-    # tests/test_magicc_components.py::test_ocean_bf16_history_close_to_f32)
+    # production throughput mode: the exp-sum tail engine (O(152) scan
+    # carry instead of the O(window) ring; ring-parity ~1e-9, pinned by
+    # TestOceanCarbonExpsum).  history_dtype only matters if a config
+    # forces the ring engine back on; recorded for provenance.
     ocean_params = {"history_dtype": "bfloat16"}
+    probe = build_magicc_model(ocean_params=ocean_params)
+    extra["magicc_ocean_engine"] = next(
+        c.resolved_engine()
+        for c in probe.graph.nodes
+        if type(c).__name__ == "OceanCarbon"
+    )
     extra["magicc_ocean_history_dtype"] = "bfloat16"
     for n_members in (10_000, 100_000):
         model = build_magicc_model(ocean_params=ocean_params)

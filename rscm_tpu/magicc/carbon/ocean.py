@@ -28,6 +28,21 @@ __all__ = ["IrfForm", "OceanCarbon", "OceanCarbonBuilder", "OCEAN_CARBON_PRESETS
 PPM_TO_GTC = 2.124
 OCEAN_MICROMOL_PER_PPM_M3_PER_KG = 1.72e17
 
+# Exponential-sum tail engine geometry (see OceanCarbon.engine): the last
+# EXPSUM_YOUNG_MONTHS months of flux history are convolved exactly; all
+# older history is folded into EXPSUM_TAIL_K recursive accumulators, one
+# per fitted decay timescale.  The fit (least squares on the component's
+# actual scaled monthly IRF table over ages >= the young window) lands at
+# <= ~1e-9 relative error for every preset kernel with O(0.1)
+# coefficients, so the compressed tail is indistinguishable from the
+# exact convolution even in float64.
+EXPSUM_TAIL_K = 32
+EXPSUM_YOUNG_MONTHS = 120
+#: "auto" uses the exp-sum engine only when the configured window is at
+#: least this long — short windows are a deliberate truncation request
+#: that the (never-forgetting) recursive tail cannot honour.
+EXPSUM_AUTO_MIN_MONTHS = 1440
+
 DELTA_OSPP_OFFSETS = (1.5568, 7.4706, 1.2748, 2.4491, 1.5468)
 DELTA_OSPP_COEFFICIENTS = (-0.013993, -0.20207, -0.12015, -0.12639, -0.15326)
 
@@ -147,8 +162,25 @@ class OceanCarbon(Component):
     #: accumulates in float32 (preferred_element_type), and the ~3000-term
     #: sum averages the 0.4% per-element rounding down to ~1e-4 relative
     #: (measured in tests/test_dtype_drift.py).  Traced path only; the
-    #: float64 host path always stores full precision.
+    #: float64 host path always stores full precision.  Ring engine
+    #: only — the exp-sum engine's O(152) carry makes storage dtype
+    #: irrelevant, so the parameter is ignored there.
     history_dtype = Parameter(default="float32", static=True)
+    #: Convolution engine.  ``"ring"`` carries the full
+    #: ``max_history_months`` flux window and convolves it against the
+    #: exact IRF table (the reference's VecDeque semantics,
+    #: ``ocean.rs:85-125``).  ``"expsum"`` carries only the last
+    #: ``EXPSUM_YOUNG_MONTHS`` months exactly plus ``EXPSUM_TAIL_K``
+    #: recursive exponential accumulators for everything older — the
+    #: scan state shrinks from O(window) to O(120+32) per member and the
+    #: per-year HBM read of the (B, window) history disappears, at a
+    #: measured <=1e-9 relative kernel-fit error.  ``"auto"`` (default)
+    #: picks expsum for effectively-untruncated windows
+    #: (>= ``EXPSUM_AUTO_MIN_MONTHS``) and ring for short ones, where
+    #: truncation is part of the requested semantics.  Host and traced
+    #: paths always use the same engine, so compiled-vs-host parity is
+    #: engine-independent.
+    engine = Parameter(default="auto", static=True)
 
     @classmethod
     def from_parameters(cls, parameters: dict):
@@ -220,9 +252,82 @@ class OceanCarbon(Component):
         table = self.irf_table()[: len(flux_history)]
         return xm.dot(flux_history, table) * self.dic_conversion_factor()
 
+    # -- engine selection ------------------------------------------------------
+
+    def resolved_engine(self) -> str:
+        """The convolution engine actually in use (resolves ``"auto"``)."""
+        if self.engine == "auto":
+            return (
+                "expsum"
+                if int(self.max_history_months) >= EXPSUM_AUTO_MIN_MONTHS
+                else "ring"
+            )
+        if self.engine not in ("ring", "expsum"):
+            raise ValueError(
+                f"OceanCarbon.engine must be 'auto', 'ring' or 'expsum', "
+                f"got {self.engine!r}"
+            )
+        return self.engine
+
+    def _expsum_tables(self) -> dict:
+        """Static exp-sum engine tables, fitted once per component.
+
+        The *scaled* monthly IRF over ages >= the young window is fitted
+        by least squares onto ``EXPSUM_TAIL_K`` fixed log-spaced decay
+        timescales (the raw kernels are exponential sums, but the
+        reference's nonlinear impulse-response scaling
+        (``ocean_carbon.rs:222-238``) makes the scaled kernel non-
+        exponential, so a numerical fit of the actual table is the
+        general treatment — it works for polynomial kernels and custom
+        ``irf_scale`` too).  Measured max relative fit error is ~1e-9 for
+        every preset; the value is recorded in the cache for tests.
+        """
+        if getattr(self, "_expsum_cache", None) is None:
+            young = EXPSUM_YOUNG_MONTHS
+            steps = int(self.steps_per_year)
+            g = self.irf_table()
+            if len(g) < young + steps:
+                raise ValueError(
+                    "expsum engine needs max_history_months >= "
+                    f"{young + steps} (young window + one year of table)"
+                )
+            t_years = np.arange(young, len(g)) / 12.0
+            taus = np.concatenate(
+                [np.geomspace(1.0, 800.0, EXPSUM_TAIL_K - 1), [1e10]]
+            )
+            basis = np.exp(-t_years[:, None] / taus[None, :])
+            coef, *_ = np.linalg.lstsq(basis, g[young:], rcond=None)
+            fit_rel = float(
+                np.max(np.abs(basis @ coef - g[young:]) / np.abs(g[young:]))
+            )
+            q = np.exp(-1.0 / (12.0 * taus))  # per-month decay factors
+            months = np.arange(1, steps + 1)
+            self._expsum_cache = dict(
+                coef=coef,
+                q=q,
+                # S decays by a full year between updates
+                q_steps=q**steps,
+                # tail contribution at month m: (S · tail_eval)[m-1]
+                tail_eval=coef[:, None] * q[:, None] ** months[None, :],
+                # weight of the entry exiting at newest-first slot
+                # young-m when folded into S (its age next year start is
+                # young + steps - m months)
+                exit_weights=q[:, None] ** (young + steps - months[None, :]),
+                # exact IRF weights for the young window (ages < young
+                # at year start; young_w[p, m-1] = irf((p+m)/12))
+                young_w=self._old_history_weights()[:young],
+                fit_rel_error=fit_rel,
+            )
+        return self._expsum_cache
+
     # -- internal state: fixed ring buffer ------------------------------------
 
     def create_initial_state(self):
+        if self.resolved_engine() == "expsum":
+            return {
+                "flux_history": np.zeros(EXPSUM_YOUNG_MONTHS),
+                "tail_accum": np.zeros(EXPSUM_TAIL_K),
+            }
         return {"flux_history": np.zeros(self.max_history_months)}
 
     # -- main step (ocean.rs:85-125) -------------------------------------------
@@ -268,11 +373,13 @@ class OceanCarbon(Component):
 
             flux_history = jnp.asarray(flux_history)
             dtype = flux_history.dtype
-            weights = jnp.asarray(self._old_history_weights(), dtype=dtype)
+            weights = jnp.asarray(
+                self._old_history_weights()[: flux_history.shape[-1]], dtype=dtype
+            )
             g_new = jnp.asarray(irf_np[:steps], dtype=dtype)
         else:
             flux_history = np.asarray(flux_history, dtype=np.float64)
-            weights = self._old_history_weights()
+            weights = self._old_history_weights()[: flux_history.shape[-1]]
             g_new = irf_np[:steps]
 
         old_contrib = xm.dot(flux_history, weights)  # (steps,) per member
@@ -319,7 +426,14 @@ class OceanCarbon(Component):
 
         Slot ``p`` holds the month aged ``(c0 - 1 - p) mod n`` relative to
         entry, where ``c0 = start_idx * steps_per_year``.
+
+        Ring engine only — the exp-sum engine's young window is
+        newest-first in every mode, so its state passes through
+        unchanged (and ``history_dtype`` does not apply: a 120-entry
+        carry is too small for storage dtype to matter).
         """
+        if self.resolved_engine() == "expsum":
+            return state
         n = int(self.max_history_months)
         steps = int(self.steps_per_year)
         c0 = int(start_idx) * steps
@@ -335,7 +449,10 @@ class OceanCarbon(Component):
 
     def unpack_scan_state(self, state, end_idx: int, dt=None):
         """Scan (circular) -> host (newest-first) layout after the run
-        finished at ``end_idx`` (called once by run_into_collection)."""
+        finished at ``end_idx`` (called once by run_into_collection).
+        Ring engine only; exp-sum state passes through unchanged."""
+        if self.resolved_engine() == "expsum":
+            return state
         n = int(self.max_history_months)
         steps = int(self.steps_per_year)
         c_end = int(end_idx) * steps
@@ -432,6 +549,81 @@ class OceanCarbon(Component):
         )
         return flux_history, pco2_ocn, cumulative, total_flux_gtc
 
+    def _solve_ocean_expsum(self, flux_history, tail_accum, co2_atm, delta_sst,
+                            pco2_initial, cumulative_initial, dt):
+        """One yearly update under the exp-sum tail engine.
+
+        Identical monthly physics to :meth:`solve_ocean`; only the
+        old-history contribution differs.  The young window (last
+        ``EXPSUM_YOUNG_MONTHS`` months, newest-first) is convolved
+        exactly against the IRF table; everything older lives in the K
+        recursive accumulators ``S_k = sum_u f_u q_k^{age_u}`` and
+        contributes ``sum_k S_k c_k q_k^m`` at this year's month ``m``
+        (``c, q`` from the tail fit — see :meth:`_expsum_tables`).  At
+        year end each ``S_k`` decays by ``q_k^steps`` and absorbs the
+        ``steps`` entries leaving the young window, so the scan carry is
+        O(152) per member instead of O(window) and a year's HBM traffic
+        no longer scales with the run length.
+        """
+        steps = int(self.steps_per_year)
+        tabs = self._expsum_tables()
+
+        traced = xm._is_traced(
+            flux_history, tail_accum, co2_atm, delta_sst, pco2_initial
+        )
+        if traced:
+            import jax.numpy as jnp
+
+            flux_history = jnp.asarray(flux_history)
+            tail_accum = jnp.asarray(tail_accum)
+            dtype = flux_history.dtype
+
+            def conv(a):
+                return jnp.asarray(a, dtype=dtype)
+
+        else:
+            flux_history = np.asarray(flux_history, dtype=np.float64)
+            tail_accum = np.asarray(tail_accum, dtype=np.float64)
+
+            def conv(a):
+                return a
+
+        young_w = conv(tabs["young_w"])          # (Y, steps)
+        tail_eval = conv(tabs["tail_eval"])      # (K, steps)
+        exit_w = conv(tabs["exit_weights"])      # (K, steps)
+        q_steps = conv(tabs["q_steps"])          # (K,)
+        g_new = conv(self.irf_table()[:steps])
+
+        old_contrib = xm.dot(flux_history, young_w) + xm.dot(
+            tail_accum, tail_eval
+        )
+
+        new_fluxes, pco2_ocn, cumulative, total_flux_gtc = (
+            self._monthly_substeps(
+                old_contrib, g_new, co2_atm, delta_sst,
+                pco2_initial, cumulative_initial, dt,
+            )
+        )
+
+        # slot Y-m exits with fold weight exit_w[:, m-1]; m=1..steps maps
+        # to the last `steps` slots read newest-last → oldest-first flip
+        exiting = flux_history[..., -steps:][..., ::-1]
+        tail_accum = tail_accum * q_steps + xm.dot(exiting, exit_w.T)
+
+        if traced:
+            import jax.numpy as jnp
+
+            new_block = jnp.stack(
+                [jnp.asarray(f, dtype=dtype) for f in reversed(new_fluxes)]
+            )
+            flux_history = jnp.concatenate([new_block, flux_history[:-steps]])
+        else:
+            flux_history = np.concatenate(
+                [[float(f) for f in reversed(new_fluxes)], flux_history[:-steps]]
+            )
+
+        return flux_history, tail_accum, pco2_ocn, cumulative, total_flux_gtc
+
     def solve_ctx(self, ctx, inputs, internal_state):
         dt = ctx.t_next - ctx.t_current
         flux_history = internal_state["flux_history"]
@@ -440,6 +632,23 @@ class OceanCarbon(Component):
         sst = inputs.sst.get()
         pco2_0 = inputs.ocean_pco2.at_start()
         cum_0 = inputs.cumulative_uptake.at_start()
+        # exp-sum engine: one formulation serves both eager and scan mode
+        # (no layout conversion — the young window is newest-first always)
+        if self.resolved_engine() == "expsum":
+            flux_history, tail, new_pco2, new_cumulative, flux = (
+                self._solve_ocean_expsum(
+                    flux_history, internal_state["tail_accum"],
+                    co2, sst, pco2_0, cum_0, dt,
+                )
+            )
+            return (
+                self.Outputs(
+                    ocean_pco2=new_pco2,
+                    cumulative_uptake=new_cumulative,
+                    air_sea_flux=flux,
+                ),
+                {"flux_history": flux_history, "tail_accum": tail},
+            )
         # circular layout exists ONLY inside the fused scan (run_fn packs
         # it in-graph); dispatch on the explicit program flag — checking
         # for traced inputs would misfire on concrete jax.Array inputs in

@@ -278,6 +278,72 @@ class TestOceanCarbon:
             assert c.irf(5.0) > 0.0
 
 
+class TestOceanCarbonExpsum:
+    """Exp-sum tail engine: O(152) scan carry replacing the O(window)
+    ring buffer (see OceanCarbon.engine)."""
+
+    def test_fit_error_all_presets(self):
+        for model in ("3D-GFDL", "2D-BERN", "HILDA"):
+            c = OceanCarbon.from_parameters(
+                {"model": model, "engine": "expsum"}
+            )
+            assert c._expsum_tables()["fit_rel_error"] < 1e-8, model
+
+    def test_auto_selection(self):
+        from rscm_tpu.magicc.carbon.ocean import EXPSUM_AUTO_MIN_MONTHS
+
+        assert OceanCarbon(max_history_months=EXPSUM_AUTO_MIN_MONTHS).resolved_engine() == "expsum"
+        assert OceanCarbon(max_history_months=EXPSUM_AUTO_MIN_MONTHS - 12).resolved_engine() == "ring"
+        assert OceanCarbon(engine="ring").resolved_engine() == "ring"
+        with pytest.raises(ValueError, match="engine"):
+            OceanCarbon(engine="bogus").resolved_engine()
+
+    def test_initial_state_shapes(self):
+        from rscm_tpu.magicc.carbon.ocean import (
+            EXPSUM_TAIL_K,
+            EXPSUM_YOUNG_MONTHS,
+        )
+
+        state = OceanCarbon(engine="expsum").create_initial_state()
+        assert state["flux_history"].shape == (EXPSUM_YOUNG_MONTHS,)
+        assert state["tail_accum"].shape == (EXPSUM_TAIL_K,)
+        assert OceanCarbon(engine="ring").create_initial_state()[
+            "flux_history"
+        ].shape == (6000,)
+
+    def test_matches_ring_over_two_centuries(self):
+        """Host f64, 200 years of ramped CO2/SST: the compressed tail is
+        indistinguishable from the exact ring convolution (fit error
+        ~1e-9 × tail share of delta-DIC ⇒ ~1e-11 on outputs)."""
+
+        def run(engine):
+            c = OceanCarbon(engine=engine, max_history_months=6000)
+            state = c.create_initial_state()
+            pco2, cum = c.pco2_pi, 0.0
+            fluxes = []
+            for i in range(200):
+                co2, sst = 280.0 + 1.5 * i, 0.01 * i
+                if engine == "expsum":
+                    fh, tail, pco2, cum, flux = c._solve_ocean_expsum(
+                        state["flux_history"], state["tail_accum"],
+                        co2, sst, pco2, cum, 1.0,
+                    )
+                    state = {"flux_history": fh, "tail_accum": tail}
+                else:
+                    fh, pco2, cum, flux = c.solve_ocean(
+                        state["flux_history"], co2, sst, pco2, cum, 1.0
+                    )
+                    state = {"flux_history": fh}
+                fluxes.append(flux)
+            return np.asarray(fluxes), pco2, cum
+
+        f_ring, p_ring, c_ring = run("ring")
+        f_exp, p_exp, c_exp = run("expsum")
+        np.testing.assert_allclose(f_exp, f_ring, rtol=1e-9)
+        assert p_exp == pytest.approx(p_ring, rel=1e-10)
+        assert c_exp == pytest.approx(c_ring, rel=1e-10)
+
+
 class TestCO2Budget:
     def test_mass_conservation(self):
         c = CO2Budget()
