@@ -29,15 +29,20 @@ PPM_TO_GTC = 2.124
 OCEAN_MICROMOL_PER_PPM_M3_PER_KG = 1.72e17
 
 # Exponential-sum tail engine geometry (see OceanCarbon.engine): the last
-# EXPSUM_YOUNG_MONTHS months of flux history are convolved exactly; all
-# older history is folded into EXPSUM_TAIL_K recursive accumulators, one
-# per fitted decay timescale.  The fit (least squares on the component's
-# actual scaled monthly IRF table over ages >= the young window) lands at
-# <= ~1e-9 relative error for every preset kernel with O(0.1)
-# coefficients, so the compressed tail is indistinguishable from the
-# exact convolution even in float64.
+# `expsum_young_months()` months of flux history are convolved exactly;
+# all older history is folded into EXPSUM_TAIL_K recursive accumulators,
+# one per fitted decay timescale.  The fit (least squares on the
+# component's actual scaled monthly IRF table over ages >= the young
+# window) lands at <= ~1e-8 relative error for every preset kernel with
+# O(0.1) coefficients, so the compressed tail is indistinguishable from
+# the exact convolution within golden tolerances even in float64.  The
+# young window is per-component: it must reach past the kernel's
+# early/late switch time (the piecewise kink is not representable by a
+# smooth exponential sum), plus two years of margin —
+# 3D-GFDL (switch 1 yr) gets 36 months, HILDA (2 yr) 48, 2D-BERN
+# (9.9 yr) 144.
 EXPSUM_TAIL_K = 32
-EXPSUM_YOUNG_MONTHS = 120
+EXPSUM_YOUNG_MIN_MONTHS = 24
 #: "auto" uses the exp-sum engine only when the configured window is at
 #: least this long — short windows are a deliberate truncation request
 #: that the (never-forgetting) recursive tail cannot honour.
@@ -269,6 +274,18 @@ class OceanCarbon(Component):
             )
         return self.engine
 
+    def expsum_young_months(self) -> int:
+        """Length of the exactly-convolved young window (exp-sum engine).
+
+        Must cover the IRF's early/late switch age (the piecewise kink
+        cannot be fitted by a smooth exponential sum) plus two years of
+        margin for the fit to settle; always a whole number of years.
+        """
+        steps = int(self.steps_per_year)
+        switch_months = int(np.ceil(float(self.irf_switch_time) * 12.0))
+        switch_steps = int(np.ceil(switch_months / steps)) * steps
+        return max(EXPSUM_YOUNG_MIN_MONTHS, switch_steps + 2 * steps)
+
     def _expsum_tables(self) -> dict:
         """Static exp-sum engine tables, fitted once per component.
 
@@ -283,7 +300,7 @@ class OceanCarbon(Component):
         every preset; the value is recorded in the cache for tests.
         """
         if getattr(self, "_expsum_cache", None) is None:
-            young = EXPSUM_YOUNG_MONTHS
+            young = self.expsum_young_months()
             steps = int(self.steps_per_year)
             g = self.irf_table()
             if len(g) < young + steps:
@@ -293,7 +310,7 @@ class OceanCarbon(Component):
                 )
             t_years = np.arange(young, len(g)) / 12.0
             taus = np.concatenate(
-                [np.geomspace(1.0, 800.0, EXPSUM_TAIL_K - 1), [1e10]]
+                [np.geomspace(0.3, 800.0, EXPSUM_TAIL_K - 1), [1e10]]
             )
             basis = np.exp(-t_years[:, None] / taus[None, :])
             coef, *_ = np.linalg.lstsq(basis, g[young:], rcond=None)
@@ -302,20 +319,29 @@ class OceanCarbon(Component):
             )
             q = np.exp(-1.0 / (12.0 * taus))  # per-month decay factors
             months = np.arange(1, steps + 1)
+            slots = np.arange(steps)  # j: exiting slot young - steps + j
             self._expsum_cache = dict(
                 coef=coef,
                 q=q,
+                young=young,
                 # S decays by a full year between updates
                 q_steps=q**steps,
                 # tail contribution at month m: (S · tail_eval)[m-1]
                 tail_eval=coef[:, None] * q[:, None] ** months[None, :],
-                # weight of the entry exiting at newest-first slot
-                # young-m when folded into S (its age next year start is
-                # young + steps - m months)
-                exit_weights=q[:, None] ** (young + steps - months[None, :]),
+                # fold weight of the entry exiting from newest-first slot
+                # young - steps + j: its age at next year start is
+                # young + j months (column order matches the slot order,
+                # so the exiting block needs no reversal)
+                exit_weights=q[:, None] ** (young + slots[None, :]),
                 # exact IRF weights for the young window (ages < young
                 # at year start; young_w[p, m-1] = irf((p+m)/12))
                 young_w=self._old_history_weights()[:young],
+                # oldest-first variants for the scan-mode layout (see
+                # pack_scan_state): slot p holds the entry aged
+                # young - 1 - p (newest-first slot young-1-p), so rows /
+                # columns are static reversals — no per-year reverse ops
+                young_w_of=self._old_history_weights()[:young][::-1],
+                exit_w_of=q[:, None] ** (young + steps - 1 - slots[None, :]),
                 fit_rel_error=fit_rel,
             )
         return self._expsum_cache
@@ -325,7 +351,7 @@ class OceanCarbon(Component):
     def create_initial_state(self):
         if self.resolved_engine() == "expsum":
             return {
-                "flux_history": np.zeros(EXPSUM_YOUNG_MONTHS),
+                "flux_history": np.zeros(self.expsum_young_months()),
                 "tail_accum": np.zeros(EXPSUM_TAIL_K),
             }
         return {"flux_history": np.zeros(self.max_history_months)}
@@ -427,13 +453,17 @@ class OceanCarbon(Component):
         Slot ``p`` holds the month aged ``(c0 - 1 - p) mod n`` relative to
         entry, where ``c0 = start_idx * steps_per_year``.
 
-        Ring engine only — the exp-sum engine's young window is
-        newest-first in every mode, so its state passes through
-        unchanged (and ``history_dtype`` does not apply: a 120-entry
-        carry is too small for storage dtype to matter).
+        Exp-sum engine: the newest-first young window flips to
+        oldest-first ("flux_hist_of", a one-time static reverse), so the
+        in-scan yearly update is a reverse-free shift-append — see
+        :meth:`_solve_ocean_expsum_scan`.  ``history_dtype`` does not
+        apply there: an O(150)-entry carry is too small for storage
+        dtype to matter.
         """
         if self.resolved_engine() == "expsum":
-            return state
+            out = {k: v for k, v in state.items() if k != "flux_history"}
+            out["flux_hist_of"] = state["flux_history"][..., ::-1]
+            return out
         n = int(self.max_history_months)
         steps = int(self.steps_per_year)
         c0 = int(start_idx) * steps
@@ -450,9 +480,12 @@ class OceanCarbon(Component):
     def unpack_scan_state(self, state, end_idx: int, dt=None):
         """Scan (circular) -> host (newest-first) layout after the run
         finished at ``end_idx`` (called once by run_into_collection).
-        Ring engine only; exp-sum state passes through unchanged."""
+        Exp-sum engine: flip the oldest-first scan layout back to the
+        newest-first young window the host contract expects."""
         if self.resolved_engine() == "expsum":
-            return state
+            out = {k: v for k, v in state.items() if k != "flux_hist_of"}
+            out["flux_history"] = state["flux_hist_of"][..., ::-1]
+            return out
         n = int(self.max_history_months)
         steps = int(self.steps_per_year)
         c_end = int(end_idx) * steps
@@ -536,16 +569,18 @@ class OceanCarbon(Component):
             flux_history, weights, preferred_element_type=compute_dtype
         )
 
-        new_fluxes, pco2_ocn, cumulative, total_flux_gtc = (
-            self._monthly_substeps(
-                old_contrib, g_new, co2_atm, delta_sst,
+        fluxes, pco2_ocn, cumulative, total_flux_gtc = (
+            self._monthly_substeps_scan(
+                old_contrib, co2_atm, delta_sst,
                 pco2_initial, cumulative_initial, dt,
             )
         )
 
         slots = (c + (months - 1)) % n  # unbatched (12,)
+        # month-ordered dense fluxes scatter directly (no vmap-batched
+        # stack — see _monthly_substeps_scan)
         flux_history = flux_history.at[slots].set(
-            jnp.stack([jnp.asarray(f, dtype=dtype) for f in new_fluxes])
+            jnp.asarray(fluxes, dtype=dtype)
         )
         return flux_history, pco2_ocn, cumulative, total_flux_gtc
 
@@ -605,9 +640,8 @@ class OceanCarbon(Component):
             )
         )
 
-        # slot Y-m exits with fold weight exit_w[:, m-1]; m=1..steps maps
-        # to the last `steps` slots read newest-last → oldest-first flip
-        exiting = flux_history[..., -steps:][..., ::-1]
+        # the last `steps` slots exit; exit_w columns are in slot order
+        exiting = flux_history[..., -steps:]
         tail_accum = tail_accum * q_steps + xm.dot(exiting, exit_w.T)
 
         if traced:
@@ -624,17 +658,154 @@ class OceanCarbon(Component):
 
         return flux_history, tail_accum, pco2_ocn, cumulative, total_flux_gtc
 
+    def _monthly_substeps_scan(self, old_contrib, co2_atm, delta_sst,
+                               pco2_initial, cumulative_initial, dt):
+        """Traced monthly sub-steps as an inner ``lax.scan``.
+
+        The unrolled monthly loop (``_monthly_substeps``) traces ~20 ops
+        per month and — fatally for TPU throughput — assembles the
+        year's fluxes with ``jnp.stack``, which under ``vmap`` lowers to
+        twelve lane-padded ``(B, 1)`` layout copies plus a concatenate
+        (~0.28 s of a 0.88 s budget at 100k members x 251 years,
+        profiled).  As a 12-iteration scan the fluxes leave as dense
+        stacked ``ys`` (one contiguous row write per month) and the
+        traced program is ~12x smaller.  The intra-year convolution of
+        this year's own fluxes uses a static lower-triangular matrix
+        ``G[m-1, j] = irf((m-1-j)/12)`` dotted against the running flux
+        buffer, which is arithmetically the same triangular sum the
+        unrolled loop accumulates.
+
+        Returns ``(fluxes (steps,), pco2, cumulative, total_flux)``;
+        fluxes are in month order (month 1 first).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        steps = int(self.steps_per_year)
+        g_new = self.irf_table()[:steps]
+        gnp = np.zeros((steps, steps))
+        for m in range(steps):
+            for j in range(m + 1):
+                gnp[m, j] = g_new[m - j]
+
+        oc = jnp.asarray(old_contrib)
+        # the monthly chain runs at the precision of its scalar inputs
+        # (f64 under x64, f32 on TPU); a reduced-precision old_contrib
+        # (e.g. from a bf16 ring history) is promoted, never the reverse
+        dtype = jnp.result_type(
+            oc.dtype,
+            jnp.asarray(pco2_initial).dtype,
+            jnp.asarray(co2_atm).dtype,
+        )
+        oc = oc.astype(dtype)
+        G = jnp.asarray(gnp, dtype=dtype)
+        dt_month = dt / steps
+        dic_factor = self.dic_conversion_factor()
+
+        def body(carry, x):
+            pco2, cum, tot, fbuf = carry
+            idx, g_row, oc_m = x
+            flux = self.calculate_flux(co2_atm, pco2)
+            fbuf = jax.lax.dynamic_update_index_in_dim(fbuf, flux, idx, 0)
+            flux_gtc_yr = flux * 12.0 * PPM_TO_GTC
+            tot = tot + flux_gtc_yr / steps
+            cum = cum + flux_gtc_yr * dt_month
+            new_part = jnp.dot(fbuf, g_row)
+            delta_dic = (new_part + oc_m) * dic_factor
+            pco2 = self.ocean_pco2_value(
+                self.delta_pco2_from_dic(delta_dic), delta_sst
+            )
+            return (pco2, cum, tot, fbuf), flux
+
+        init = (
+            jnp.asarray(pco2_initial, dtype=dtype),
+            jnp.asarray(cumulative_initial, dtype=dtype),
+            jnp.zeros((), dtype=dtype),
+            jnp.zeros(steps, dtype=dtype),
+        )
+        xs = (jnp.arange(steps, dtype=jnp.int32), G, oc)
+        # fully unrolled: the sequential chain stays on-chip (no
+        # per-iteration carry round trip) while ys assembly remains
+        # scan-managed dense updates — not vmap-batched stacks
+        (pco2_ocn, cumulative, total_flux, _), fluxes = jax.lax.scan(
+            body, init, xs, unroll=steps
+        )
+        return fluxes, pco2_ocn, cumulative, total_flux
+
+    def _solve_ocean_expsum_scan(self, fh_of, tail_accum, co2_atm, delta_sst,
+                                 pco2_initial, cumulative_initial, dt):
+        """Scan-mode exp-sum update on the oldest-first young window.
+
+        Inside the fused scan the young window is carried oldest-first
+        (slot p holds the entry aged ``young - p`` at this year's start;
+        see :meth:`pack_scan_state`), so the yearly update is a single
+        shift-append — ``concat(fh[steps:], fluxes)`` — with the month-
+        ordered dense fluxes from :meth:`_monthly_substeps_scan`
+        appended directly: no stack, no reverse, no lane-padded
+        intermediates.  Arithmetic is identical to the newest-first
+        dense path up to summation order.
+        """
+        import jax.numpy as jnp
+
+        steps = int(self.steps_per_year)
+        tabs = self._expsum_tables()
+        fh_of = jnp.asarray(fh_of)
+        tail_accum = jnp.asarray(tail_accum)
+        dtype = tail_accum.dtype
+        young_w_of = jnp.asarray(tabs["young_w_of"], dtype=dtype)
+        tail_eval = jnp.asarray(tabs["tail_eval"], dtype=dtype)
+        exit_w_of = jnp.asarray(tabs["exit_w_of"], dtype=dtype)
+        q_steps = jnp.asarray(tabs["q_steps"], dtype=dtype)
+
+        old_contrib = jnp.matmul(
+            fh_of, young_w_of, preferred_element_type=dtype
+        ) + xm.dot(tail_accum, tail_eval)
+
+        fluxes, pco2_ocn, cumulative, total_flux_gtc = (
+            self._monthly_substeps_scan(
+                old_contrib, co2_atm, delta_sst,
+                pco2_initial, cumulative_initial, dt,
+            )
+        )
+
+        exiting = fh_of[..., :steps]  # the oldest entries leave the window
+        tail_accum = tail_accum * q_steps + xm.dot(exiting, exit_w_of.T)
+        fh_of = jnp.concatenate(
+            [fh_of[..., steps:], jnp.asarray(fluxes, dtype=fh_of.dtype)],
+            axis=-1,
+        )
+        return fh_of, tail_accum, pco2_ocn, cumulative, total_flux_gtc
+
     def solve_ctx(self, ctx, inputs, internal_state):
         dt = ctx.t_next - ctx.t_current
-        flux_history = internal_state["flux_history"]
+        # absent in expsum scan mode, where the young window is packed
+        # into per-slot columns ("flux_cols")
+        flux_history = internal_state.get("flux_history")
 
         co2 = inputs.co2_concentration.get()
         sst = inputs.sst.get()
         pco2_0 = inputs.ocean_pco2.at_start()
         cum_0 = inputs.cumulative_uptake.at_start()
-        # exp-sum engine: one formulation serves both eager and scan mode
-        # (no layout conversion — the young window is newest-first always)
+        # exp-sum engine: scan mode carries the young window oldest-first
+        # (packed by pack_scan_state, keyed "flux_hist_of"); the
+        # eager/host path keeps the dense newest-first array
         if self.resolved_engine() == "expsum":
+            if "flux_hist_of" in internal_state:
+                fh_of, tail, new_pco2, new_cumulative, flux = (
+                    self._solve_ocean_expsum_scan(
+                        internal_state["flux_hist_of"],
+                        internal_state["tail_accum"],
+                        co2, sst, pco2_0, cum_0, dt,
+                    )
+                )
+                return (
+                    self.Outputs(
+                        ocean_pco2=new_pco2,
+                        cumulative_uptake=new_cumulative,
+                        air_sea_flux=flux,
+                    ),
+                    {"flux_hist_of": fh_of, "tail_accum": tail},
+                )
             flux_history, tail, new_pco2, new_cumulative, flux = (
                 self._solve_ocean_expsum(
                     flux_history, internal_state["tail_accum"],

@@ -299,17 +299,23 @@ class TestOceanCarbonExpsum:
             OceanCarbon(engine="bogus").resolved_engine()
 
     def test_initial_state_shapes(self):
-        from rscm_tpu.magicc.carbon.ocean import (
-            EXPSUM_TAIL_K,
-            EXPSUM_YOUNG_MONTHS,
-        )
+        from rscm_tpu.magicc.carbon.ocean import EXPSUM_TAIL_K
 
-        state = OceanCarbon(engine="expsum").create_initial_state()
-        assert state["flux_history"].shape == (EXPSUM_YOUNG_MONTHS,)
+        c = OceanCarbon(engine="expsum")
+        state = c.create_initial_state()
+        assert state["flux_history"].shape == (c.expsum_young_months(),)
         assert state["tail_accum"].shape == (EXPSUM_TAIL_K,)
         assert OceanCarbon(engine="ring").create_initial_state()[
             "flux_history"
         ].shape == (6000,)
+
+    def test_young_window_covers_kernel_switch(self):
+        # the young window must reach past the early/late IRF switch —
+        # the piecewise kink cannot be fitted by a smooth exp-sum tail
+        for model, expected in (("3D-GFDL", 36), ("HILDA", 48), ("2D-BERN", 144)):
+            c = OceanCarbon.from_parameters({"model": model})
+            assert c.expsum_young_months() == expected, model
+            assert c.expsum_young_months() >= c.irf_switch_time * 12
 
     def test_matches_ring_over_two_centuries(self):
         """Host f64, 200 years of ramped CO2/SST: the compressed tail is
