@@ -342,17 +342,27 @@ def bench_tpu_golden(extra):
         get_variable_values,
         load_regression_data,
     )
-    from regression.test_ocean_udeb import build_ocean_model, step_forcing
+    from regression.test_ocean_udeb import build_ocean_model, ramp_forcing_1pct
     from regression.test_ghg_forcing import build_ghg_forcing_model
 
     # -- ocean_udeb scenario 10 (full default physics incl. Pallas months)
+    # drive it exactly like tests/regression/test_ocean_udeb.py::
+    # test_ocean_10_full_default: a 1%/yr CO2 ramp with the scenario's
+    # own ECS / 2xCO2 forcing (a step forcing here would be a different
+    # experiment than the golden CSV records)
     df, config = load_regression_data("ocean_udeb", "10_full_default")
     years, expected_temp = get_variable_values(df, "Surface Temperature")
-    erf = step_forcing(years, config.get("core_delq2xco2", 3.71))
+    erf = ramp_forcing_1pct(
+        years, config.get("core_delq2xco2", 3.71), config.get("startyear", 1850)
+    )
+    params = {
+        "ecs": config.get("core_climatesensitivity", 3.0),
+        "rf_2xco2": config.get("core_delq2xco2", 3.71),
+    }
 
-    host = build_ocean_model(config, years, erf)
+    host = build_ocean_model(config, years, erf, params=params)
     host.run(compiled=False)  # float64 numpy oracle
-    device = build_ocean_model(config, years, erf)
+    device = build_ocean_model(config, years, erf, params=params)
     device.run(compiled=True)  # float32 XLA + Pallas on the TPU
 
     def global_temp(model):
@@ -399,7 +409,9 @@ def bench_tpu_golden(extra):
             .values()
         ).ravel()
 
-    e_host, e_dev = co2_erf(host), co2_erf(device)
+    # index 0 is the (NaN-filled) initial-value slot — outputs land at
+    # N+1, same slicing the golden comparison below uses
+    e_host, e_dev = co2_erf(host)[1:], co2_erf(device)[1:]
     drift = float(np.max(np.abs(e_dev - e_host)) / np.max(np.abs(e_host)))
     extra["tpu_golden_drift_ghg01_co2_erf"] = drift
     assert drift < 2e-5, (  # 4x the documented 5e-6 CPU-f32 bound
@@ -409,7 +421,7 @@ def bench_tpu_golden(extra):
     # 1750s forcing without saying whether the answer moved); f64 parity
     # is ~3e-6 here (parity_report.csv), f32 drift adds ~2e-7
     rel = float(
-        np.max(np.abs(e_dev[1:] - expected_co2_erf[:-1]))
+        np.max(np.abs(e_dev - expected_co2_erf[:-1]))
         / np.max(np.abs(expected_co2_erf))
     )
     extra["tpu_golden_ghg01_max_rel_vs_magicc7"] = rel
