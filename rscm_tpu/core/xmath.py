@@ -59,6 +59,8 @@ ceil = _dispatch("ceil")
 isnan = _dispatch("isnan")
 nan_to_num = _dispatch("nan_to_num")
 take = _dispatch("take")
+sum = _dispatch("sum")  # noqa: A001
+mean = _dispatch("mean")
 
 
 def asarray(x, like=None):

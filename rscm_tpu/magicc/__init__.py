@@ -9,6 +9,8 @@ MAGICC7 simple climate model as components on the rscm_tpu engine —
 - Chemistry: CH4Chemistry, N2OChemistry, HalocarbonChemistry
 - Carbon: TerrestrialCarbon, OceanCarbon, CO2Budget
 - Climate: ClimateUDEB (4-box atmosphere + upwelling-diffusion ocean)
+- Beyond the reference: Permafrost (module_12 — documented upstream but
+  never implemented there)
 
 Each component cites the reference Rust implementation (itself traceable to
 the Fortran MAGICC7 line references in ``docs/modules/``).
@@ -28,6 +30,12 @@ from .forcing.aerosol_indirect import AerosolIndirect, AerosolIndirectBuilder
 from .carbon.terrestrial import TerrestrialCarbon, TerrestrialCarbonBuilder
 from .carbon.ocean import OceanCarbon, OceanCarbonBuilder
 from .carbon.budget import CO2Budget, CO2BudgetBuilder
+from .carbon.permafrost import (
+    CH4ChemistryWithPermafrost,
+    CO2BudgetWithPermafrost,
+    Permafrost,
+    PermafrostBuilder,
+)
 from .climate.udeb import ClimateUDEB, ClimateUDEBBuilder
 
 __all__ = [
@@ -37,8 +45,10 @@ __all__ = [
     "AerosolIndirectBuilder",
     "CH4Chemistry",
     "CH4ChemistryBuilder",
+    "CH4ChemistryWithPermafrost",
     "CO2Budget",
     "CO2BudgetBuilder",
+    "CO2BudgetWithPermafrost",
     "ClimateUDEB",
     "ClimateUDEBBuilder",
     "ForcingMethod",
@@ -53,6 +63,8 @@ __all__ = [
     "OceanCarbonBuilder",
     "OzoneForcing",
     "OzoneForcingBuilder",
+    "Permafrost",
+    "PermafrostBuilder",
     "TerrestrialCarbon",
     "TerrestrialCarbonBuilder",
 ]

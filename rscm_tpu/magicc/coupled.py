@@ -100,12 +100,25 @@ def idealised_emissions(years: np.ndarray) -> dict:
     }
 
 
-def build_magicc_schema(emissions: dict) -> VariableSchema:
+_PERMAFROST_VARS = (
+    ("Emissions|CO2|Permafrost", "GtC/yr"),
+    ("Emissions|CH4|Permafrost", "Mt CH4/yr"),
+    ("Permafrost|Thawed Area Fraction", "1"),
+    ("Permafrost|Total Pool", "GtC"),
+)
+
+
+def build_magicc_schema(
+    emissions: dict, include_permafrost: bool = False
+) -> VariableSchema:
     schema = VariableSchema()
     for name, (_, unit) in emissions.items():
         schema.add_variable(name, unit)
     for name, unit in _SCALAR_VARS:
         schema.add_variable(name, unit)
+    if include_permafrost:
+        for name, unit in _PERMAFROST_VARS:
+            schema.add_variable(name, unit)
     for name in FORCER_VARIABLES:
         schema.add_variable(name, "W/m^2")
     schema.add_variable("Surface Temperature", "K", GridType.FourBox)
@@ -116,7 +129,9 @@ def build_magicc_schema(emissions: dict) -> VariableSchema:
 
 
 def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
-                       udeb_params: dict = None, ocean_params: dict = None):
+                       udeb_params: dict = None, ocean_params: dict = None,
+                       include_permafrost: bool = False,
+                       permafrost_params: dict = None):
     """Build the ten-component emissions-driven MAGICC-style model.
 
     The ocean-carbon flux-history window is sized to the run length
@@ -125,17 +140,25 @@ def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
     no effect); pass ``ocean_params`` to override any OceanCarbon
     parameter, e.g. ``{"history_dtype": "bfloat16"}`` for the
     half-traffic production mode.
+
+    ``include_permafrost=True`` adds the beyond-reference permafrost
+    carbon feedback (module_12): the :class:`Permafrost` component plus
+    budget/chemistry variants that fold its CO2 and CH4 release into the
+    same closures MAGICC7 uses.
     """
     from rscm_tpu.magicc import (
         AerosolDirect,
         AerosolIndirect,
         CH4Chemistry,
+        CH4ChemistryWithPermafrost,
         ClimateUDEB,
         CO2Budget,
+        CO2BudgetWithPermafrost,
         GhgForcing,
         N2OChemistry,
         OceanCarbon,
         OzoneForcing,
+        Permafrost,
         TerrestrialCarbon,
     )
 
@@ -145,13 +168,26 @@ def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
     if emissions is None:
         emissions = idealised_emissions(years)
 
+    ch4_cls = CH4ChemistryWithPermafrost if include_permafrost else CH4Chemistry
+    budget_cls = CO2BudgetWithPermafrost if include_permafrost else CO2Budget
+
     time_axis = TimeAxis.from_values(years)
     builder = (
         ModelBuilder()
         .with_time_axis(time_axis)
-        .with_schema(build_magicc_schema(emissions))
+        .with_schema(build_magicc_schema(emissions, include_permafrost))
+    )
+    if include_permafrost:
+        # Inserted FIRST: insertion order drives variable-source
+        # classification (reference semantics).  Permafrost's temperature
+        # read becomes a lagged index-N read (this year's thaw from the
+        # temperature state entering the year), while the budget/chemistry
+        # components added below read its emissions same-step at N+1.
+        builder = builder.with_component(Permafrost(**(permafrost_params or {})))
+    builder = (
+        builder
         .with_component(
-            CH4Chemistry(ch4_pi=INITIAL_VALUES["Atmospheric Concentration|CH4"])
+            ch4_cls(ch4_pi=INITIAL_VALUES["Atmospheric Concentration|CH4"])
         )
         .with_component(
             N2OChemistry(n2o_pi=INITIAL_VALUES["Atmospheric Concentration|N2O"])
@@ -180,7 +216,7 @@ def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
                 }
             )
         )
-        .with_component(CO2Budget())
+        .with_component(budget_cls())
     )
     for name, (values, unit) in emissions.items():
         builder = builder.with_exogenous_variable(
