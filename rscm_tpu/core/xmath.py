@@ -61,6 +61,7 @@ nan_to_num = _dispatch("nan_to_num")
 take = _dispatch("take")
 sum = _dispatch("sum")  # noqa: A001
 mean = _dispatch("mean")
+interp = _dispatch("interp")
 
 
 def asarray(x, like=None):

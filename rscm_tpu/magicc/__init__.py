@@ -9,8 +9,8 @@ MAGICC7 simple climate model as components on the rscm_tpu engine —
 - Chemistry: CH4Chemistry, N2OChemistry, HalocarbonChemistry
 - Carbon: TerrestrialCarbon, OceanCarbon, CO2Budget
 - Climate: ClimateUDEB (4-box atmosphere + upwelling-diffusion ocean)
-- Beyond the reference: Permafrost (module_12 — documented upstream but
-  never implemented there)
+- Beyond the reference: Permafrost (module_12) and SeaLevelRise
+  (module_14) — both documented upstream but never implemented there
 
 Each component cites the reference Rust implementation (itself traceable to
 the Fortran MAGICC7 line references in ``docs/modules/``).
@@ -37,6 +37,7 @@ from .carbon.permafrost import (
     PermafrostBuilder,
 )
 from .climate.udeb import ClimateUDEB, ClimateUDEBBuilder
+from .slr import SeaLevelRise, SeaLevelRiseBuilder
 
 __all__ = [
     "AerosolDirect",
@@ -65,6 +66,8 @@ __all__ = [
     "OzoneForcingBuilder",
     "Permafrost",
     "PermafrostBuilder",
+    "SeaLevelRise",
+    "SeaLevelRiseBuilder",
     "TerrestrialCarbon",
     "TerrestrialCarbonBuilder",
 ]

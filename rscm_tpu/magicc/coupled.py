@@ -107,9 +107,22 @@ _PERMAFROST_VARS = (
     ("Permafrost|Total Pool", "GtC"),
 )
 
+_SLR_VARS = (
+    ("Sea Level Rise", "mm"),
+    ("Sea Level Rise|Thermal Expansion", "mm"),
+    ("Sea Level Rise|Glaciers", "mm"),
+    ("Sea Level Rise|Greenland|SMB", "mm"),
+    ("Sea Level Rise|Greenland|SID", "mm"),
+    ("Sea Level Rise|Antarctica|SMB", "mm"),
+    ("Sea Level Rise|Antarctica|SID", "mm"),
+    ("Sea Level Rise|Land Water", "mm"),
+    ("Sea Level Rise|Semi-Empirical", "mm"),
+)
+
 
 def build_magicc_schema(
-    emissions: dict, include_permafrost: bool = False
+    emissions: dict, include_permafrost: bool = False,
+    include_slr: bool = False,
 ) -> VariableSchema:
     schema = VariableSchema()
     for name, (_, unit) in emissions.items():
@@ -118,6 +131,9 @@ def build_magicc_schema(
         schema.add_variable(name, unit)
     if include_permafrost:
         for name, unit in _PERMAFROST_VARS:
+            schema.add_variable(name, unit)
+    if include_slr:
+        for name, unit in _SLR_VARS:
             schema.add_variable(name, unit)
     for name in FORCER_VARIABLES:
         schema.add_variable(name, "W/m^2")
@@ -131,7 +147,9 @@ def build_magicc_schema(
 def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
                        udeb_params: dict = None, ocean_params: dict = None,
                        include_permafrost: bool = False,
-                       permafrost_params: dict = None):
+                       permafrost_params: dict = None,
+                       include_slr: bool = False,
+                       slr_params: dict = None):
     """Build the ten-component emissions-driven MAGICC-style model.
 
     The ocean-carbon flux-history window is sized to the run length
@@ -145,6 +163,11 @@ def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
     carbon feedback (module_12): the :class:`Permafrost` component plus
     budget/chemistry variants that fold its CO2 and CH4 release into the
     same closures MAGICC7 uses.
+
+    ``include_slr=True`` adds the beyond-reference sea-level module
+    (module_14): :class:`SeaLevelRise` diagnoses all seven contributors
+    from the climate state each year (no feedback into the rest of the
+    graph, matching MAGICC7's end-of-step ``sealevel_calc``).
     """
     from rscm_tpu.magicc import (
         AerosolDirect,
@@ -159,6 +182,7 @@ def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
         OceanCarbon,
         OzoneForcing,
         Permafrost,
+        SeaLevelRise,
         TerrestrialCarbon,
     )
 
@@ -175,7 +199,9 @@ def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
     builder = (
         ModelBuilder()
         .with_time_axis(time_axis)
-        .with_schema(build_magicc_schema(emissions, include_permafrost))
+        .with_schema(
+            build_magicc_schema(emissions, include_permafrost, include_slr)
+        )
     )
     if include_permafrost:
         # Inserted FIRST: insertion order drives variable-source
@@ -218,6 +244,18 @@ def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
         )
         .with_component(budget_cls())
     )
+    if include_slr:
+        # Inserted after ClimateUDEB so the N+1 temperature / OHC of the
+        # current step feed it (MAGICC7 calls sealevel_calc at the end of
+        # each timestep).  Nothing reads its outputs — pure diagnostics.
+        builder = builder.with_component(
+            SeaLevelRise(
+                **{
+                    "max_history_steps": len(years) + 1,
+                    **(slr_params or {}),
+                }
+            )
+        )
     for name, (values, unit) in emissions.items():
         builder = builder.with_exogenous_variable(
             name,
