@@ -245,6 +245,41 @@ def bench_magicc(extra):
         n_members * (n_years - 1) / med
     )
 
+    # the full-options graph: ten components + the two beyond-reference
+    # modules (permafrost carbon feedback + sea level rise) in one fused
+    # scan at 10k members — evidence the extended graph runs on-device
+    try:
+        model = build_magicc_model(
+            ocean_params=ocean_params,
+            include_permafrost=True,
+            include_slr=True,
+        )
+        n_years = len(model.time_axis)
+        runner = EnsembleRunner(model)
+        rng = np.random.default_rng(3)
+        n_members = 10_000
+        params = runner.batched_params(
+            {
+                "ClimateUDEB.ecs": rng.uniform(1.8, 5.5, n_members),
+                "Permafrost.arctic_amplification": rng.uniform(1.5, 2.5, n_members),
+            }
+        )
+        med, best, out = _timed(
+            lambda: runner.run(
+                params=params, out_vars=["Surface Temperature", "Sea Level Rise"]
+            )
+        )
+        slr = np.asarray(out["Sea Level Rise"])
+        # index 0 is the NaN initial-value slot (SLR declares no initial
+        # values); everything computed must be finite
+        assert np.all(np.isfinite(slr[:, 1:])), "permafrost+SLR graph non-finite"
+        extra["magicc_permafrost_slr_10k_wall_s"] = med
+        extra["magicc_permafrost_slr_10k_member_years_per_sec"] = (
+            n_members * (n_years - 1) / med
+        )
+    except Exception as exc:
+        extra["magicc_permafrost_slr_error"] = repr(exc)[:200]
+
     # engine comparison: on TPU the default month_engine="auto" resolves
     # to the Pallas kernel (rscm_tpu/ops/udeb_month.py) — the numbers
     # above use it; this extra records the plain-XLA inner-scan engine so

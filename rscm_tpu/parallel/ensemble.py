@@ -227,6 +227,21 @@ class EnsembleRunner:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if start_idx == 0 and self.model.time_index > 0:
+            import warnings
+
+            warnings.warn(
+                "EnsembleRunner.run(start_idx=0) on a model that has been "
+                f"stepped to index {self.model.time_index}: component "
+                "internal states (ocean flux history, UDEB ocean column, "
+                "...) are snapshotted from the model's CURRENT position, so "
+                "the ensemble would mix initial timeseries values with "
+                "end-of-run internal states. Rebuild the model (or restore "
+                "its checkpoint) for a from-scratch ensemble, or pass "
+                "start_idx=model.time_index to continue from where it is.",
+                stacklevel=2,
+            )
+
         p = self.program
         if stream is None:
             stream = out_vars is not None

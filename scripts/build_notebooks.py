@@ -42,6 +42,7 @@ NOTEBOOKS = [
     "09_python_components.py",
     "10_ensembles_and_sharding.py",
     "11_magicc_coupled.py",
+    "12_beyond_magicc7.py",
 ]
 
 SETUP_CELL = """\

@@ -60,9 +60,15 @@ def test_notebooks_are_valid_and_executed():
     import nbformat
 
     notebooks = sorted((ROOT / "docs" / "notebooks").glob("*.ipynb"))
-    # full tutorial set ships as executed notebooks (reference parity:
-    # the reference renders all 11 notebook sources into its site)
-    assert len(notebooks) == 11
+    # every tutorial source ships as an executed notebook (reference
+    # parity: the reference renders all of its notebook sources into
+    # its site) — the set must match docs/tutorials exactly
+    sources = sorted(
+        p.stem
+        for p in (ROOT / "docs" / "tutorials").glob("*.py")
+        if p.name[0].isdigit()
+    )
+    assert [p.stem for p in notebooks] == sources
     for path in notebooks:
         nb = nbformat.read(path, as_version=4)
         nbformat.validate(nb)

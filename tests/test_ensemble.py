@@ -259,7 +259,8 @@ def test_input_cache_invalidates_when_model_steps():
     cached_before = dict(runner._input_cache)
     assert cached_before
     model.step()  # mutates collection + time_index
-    runner.run(params=params, out_vars=["Surface Temperature"])
+    with pytest.warns(UserWarning, match="stepped to index 1"):
+        runner.run(params=params, out_vars=["Surface Temperature"])
     # cache was rebuilt from the mutated model, not served stale
     assert runner._input_cache_version == (
         model.time_index,
