@@ -179,12 +179,15 @@ def bench_magicc(extra):
     # TestOceanCarbonExpsum).  history_dtype only matters if a config
     # forces the ring engine back on; recorded for provenance.
     ocean_params = {"history_dtype": "bfloat16"}
-    probe = build_magicc_model(ocean_params=ocean_params)
-    extra["magicc_ocean_engine"] = next(
-        c.resolved_engine()
-        for c in probe.graph.nodes
-        if type(c).__name__ == "OceanCarbon"
-    )
+    # provenance: record the convolution engine the ensemble models resolve
+    # to — engine choice depends only on the component's own parameters, so
+    # one component with the coupled builder's run-length window sizing
+    # (coupled.py) answers for the whole graph
+    from rscm_tpu.magicc import OceanCarbon
+
+    extra["magicc_ocean_engine"] = OceanCarbon(
+        **{"max_history_months": 12 * 252, **ocean_params}
+    ).resolved_engine()
     extra["magicc_ocean_history_dtype"] = "bfloat16"
     for n_members in (10_000, 100_000):
         model = build_magicc_model(ocean_params=ocean_params)
@@ -592,6 +595,19 @@ def bench_mcmc(extra):
 
 def smoke():
     """CI contract check off-TPU: tiny flagship ensemble, one JSON line."""
+    import jax
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        # CI runs the smoke on CPU via JAX_PLATFORMS=cpu, but the axon
+        # sitecustomize pins jax_platforms to the TPU backend in jax.config
+        # (overriding the env var) — and initializing that backend hangs
+        # whenever the TPU tunnel is down.  Honor the explicit CPU request
+        # before any backend exists.
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     from rscm_tpu.parallel import EnsembleRunner
 
     model = build_flagship(n_years=24)

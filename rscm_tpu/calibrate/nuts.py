@@ -404,12 +404,10 @@ class NUTSSampler:
             )
         # Eager ops must run on the mesh's backend when one is given — the
         # default backend may be broken/absent under a forced-CPU fallback.
-        import contextlib
+        from rscm_tpu.utils.target import mesh_context
 
         def dev_ctx():
-            if mesh is not None:
-                return jax.default_device(mesh.devices.flat[0])
-            return contextlib.nullcontext()
+            return mesh_context(mesh)
 
         with dev_ctx():
             init_x = np.asarray(jax.vmap(to_x)(jnp.asarray(init_positions)))
@@ -555,7 +553,10 @@ class NUTSSampler:
             )
             keys = keys.reshape(total_iters, n_chains, 2)
             init_x_dev = jnp.asarray(init_x)
-        carry, qs, logps = run_all(init_x_dev, keys)
+        # tracing happens inside this first call: resolve engine choices
+        # against the mesh's platform, not the default backend
+        with dev_ctx():
+            carry, qs, logps = run_all(init_x_dev, keys)
 
         qs = np.asarray(qs[warmup:])          # (n_iterations, n_chains, D)
         logps = np.asarray(logps[warmup:])

@@ -523,12 +523,10 @@ class EnsembleSampler:
         # Eager ops (asarray, PRNG key handling) must execute on the mesh's
         # backend, not the default one — when the mesh is a forced-CPU
         # fallback, the default (TPU) backend may be absent or broken.
-        import contextlib
+        from rscm_tpu.utils.target import mesh_context
 
         def dev_ctx():
-            if mesh is not None:
-                return jax.default_device(mesh.devices.flat[0])
-            return contextlib.nullcontext()
+            return mesh_context(mesh)
 
         with dev_ctx():
             positions = jnp.asarray(state.positions, dtype=dtype)
@@ -548,9 +546,12 @@ class EnsembleSampler:
             with dev_ctx():
                 key, sub = jr.split(key)
                 keys = jr.split(sub, todo)
-            (positions, log_probs, n_accepted), (all_pos, all_lp) = run_scan(
-                positions, log_probs, n_accepted, keys
-            )
+            # tracing happens inside the first call: resolve engine choices
+            # (and any eager constants) against the mesh's platform
+            with dev_ctx():
+                (positions, log_probs, n_accepted), (all_pos, all_lp) = run_scan(
+                    positions, log_probs, n_accepted, keys
+                )
             chain.push_stacked(np.asarray(all_pos), np.asarray(all_lp))
             done += todo
             state.positions = np.asarray(positions)

@@ -293,6 +293,15 @@ class ModelBuilder:
         aggregate_names = set(self.schema.aggregates) if self.schema else set()
         has_schema = self.schema is not None
 
+        # optional component hook: axis-dependent validation and static
+        # sizing (e.g. SeaLevelRise requires a uniform axis for its
+        # step-indexed IRF history and bakes the step size into its
+        # static convolution kernels)
+        for component in self.components:
+            hook = getattr(component, "validate_time_axis", None)
+            if hook is not None:
+                hook(self.time_axis)
+
         for component in self.components:
             node = graph.add_node(component)
             has_dependencies = False

@@ -315,7 +315,18 @@ class Model:
         return json.dumps(self.to_dict())
 
     def restore(self, d: dict):
-        """Restore collection/time state from a checkpoint dict in place."""
+        """Restore collection/time state from a checkpoint dict in place.
+
+        Internal states are validated against each component's *current*
+        state schema (keys and leaf shapes) before being adopted: a
+        component whose configuration changed between save and restore
+        (e.g. a different convolution engine or window size) would
+        otherwise crash at trace time — or worse, silently compute with a
+        half-restored state.  Components may define
+        ``migrate_internal_state(saved)`` to convert a mismatched saved
+        state (e.g. :class:`OceanCarbon` migrates ring-engine checkpoints
+        into the exp-sum layout); without one, a mismatch raises.
+        """
         from ..timeseries import TimeseriesCollection as TC
 
         self.time_index = int(d["time_index"])
@@ -336,12 +347,57 @@ class Model:
                 template, float
             ) else arr.reshape(np.shape(template))
 
+        def schema_of(state):
+            # keys + leaf shapes; robust to lists (JSON) vs ndarrays and
+            # to ragged / dict-bearing containers
+            if state is None:
+                return None
+            if isinstance(state, dict):
+                return {k: schema_of(v) for k, v in state.items()}
+            try:
+                arr = np.asarray(state)
+                if arr.dtype != object:
+                    return arr.shape
+            except Exception:
+                pass
+            return [schema_of(v) for v in state]
+
+        def decode_raw(encoded):
+            # decode by the *saved* structure (migration input)
+            if isinstance(encoded, dict):
+                return {k: decode_raw(v) for k, v in encoded.items()}
+            arr = np.asarray(encoded, dtype=np.float64)
+            return float(arr) if arr.ndim == 0 else arr
+
         for node_str, encoded in states.items():
             node = int(node_str)
             template = self.component_states.get(node)
             if encoded is None or template is None:
                 continue
-            self.component_states[node] = decode_state(encoded, template)
+            if schema_of(encoded) == schema_of(template):
+                self.component_states[node] = decode_state(encoded, template)
+                continue
+            component = self.graph.nodes[node]
+            name = getattr(component, "component_name", type(component).__name__)
+            migrate = getattr(component, "migrate_internal_state", None)
+            if migrate is None:
+                raise ValueError(
+                    f"checkpoint restore: saved internal state of component "
+                    f"{name!r} does not match its current schema "
+                    f"(saved {schema_of(encoded)}, current "
+                    f"{schema_of(template)}). The component's configuration "
+                    "(e.g. an engine or window-size parameter) changed "
+                    "between save and restore; rebuild the model with the "
+                    "original configuration."
+                )
+            migrated = migrate(decode_raw(encoded))
+            if schema_of(migrated) != schema_of(template):
+                raise ValueError(
+                    f"checkpoint restore: {name}.migrate_internal_state "
+                    f"produced {schema_of(migrated)}, but the current schema "
+                    f"is {schema_of(template)}"
+                )
+            self.component_states[node] = migrated
         self._program = None
 
     # -- full serialisation (component reconstruction) ------------------------

@@ -189,8 +189,12 @@ class CH4Chemistry(Component):
 
     def _iteration_correction(self, tau_oh, delta_burden_prev, burden_current):
         x = -self.oh_sensitivity_scale * self.ch4_self_feedback
-        corrected = tau_oh * (1.0 - 0.5 * x * delta_burden_prev / burden_current)
-        return xm.where(xm.abs(burden_current) < 1e-10, tau_oh, corrected)
+        # safe denominator: a plain where() still differentiates through
+        # the divide-by-zero branch (NaN gradients), so mask the input too
+        near_zero = xm.abs(burden_current) < 1e-10
+        safe_burden = xm.where(near_zero, 1.0, burden_current)
+        corrected = tau_oh * (1.0 - 0.5 * x * delta_burden_prev / safe_burden)
+        return xm.where(near_zero, tau_oh, corrected)
 
     def calculate_total_lifetime(self, tau_oh):
         return 1.0 / (1.0 / tau_oh + 1.0 / self.tau_other())
@@ -244,7 +248,15 @@ class CH4Chemistry(Component):
             ratio = xm.maximum(burden_mean / burden_reference, 1.0)
             tau_oh = base_lifetime_factor * ratio**x
             if delta_burden is not None:
-                tau_oh = tau_oh * (1.0 - 0.5 * x * delta_burden / burden)
+                # same zero-burden guard as _iteration_correction: a zero
+                # start-of-step burden must not poison tau_oh (or its
+                # gradient) with inf/NaN
+                near_zero = xm.abs(burden) < 1e-10
+                safe_burden = xm.where(near_zero, 1.0, burden)
+                corrected = tau_oh * (
+                    1.0 - 0.5 * x * delta_burden / safe_burden
+                )
+                tau_oh = xm.where(near_zero, tau_oh, corrected)
             if self.include_temp_feedback:
                 tau_oh = self.tau_oh / (
                     self.tau_oh / tau_oh + self.temp_sensitivity * delta_t
@@ -321,22 +333,14 @@ class CH4Chemistry(Component):
         )
 
     def _apply_prescribed(self, ctx, computed):
-        """Concentration-prescribed mode until the switch year.
+        """Concentration-prescribed mode until the switch year (shared
+        MAGICC7 ``SWITCHFROMCONC2EMIS_YEAR`` semantics — see
+        :mod:`rscm_tpu.magicc.chemistry.prescribed`)."""
+        from .prescribed import apply_prescribed_concentration
 
-        Mirrors MAGICC7's ``SWITCHFROMCONC2EMIS_YEAR`` handling
-        (module_01 doc §7.2): while ``t_next <= prescribed_until`` the
-        output written at step N+1 comes verbatim from the prescribed
-        series (aligned to the model time axis); afterwards the Prather
-        update takes over seamlessly from the last prescribed value.
-        Compiles to a static-array gather + select under tracing.
-        """
-        if self.prescribed_concentrations is None or self.prescribed_until is None:
-            return computed
-        series = np.asarray(self.prescribed_concentrations, dtype=np.float64)
-        idx_next = xm.clip(ctx.step_index + 1, 0, len(series) - 1)
-        prescribed = xm.take(series, idx_next)
-        use_prescribed = ctx.t_next <= float(self.prescribed_until) + 1e-9
-        return xm.where(use_prescribed, prescribed, computed)
+        return apply_prescribed_concentration(
+            ctx, computed, self.prescribed_concentrations, self.prescribed_until
+        )
 
     @classmethod
     def magicc7(

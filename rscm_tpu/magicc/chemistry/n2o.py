@@ -187,15 +187,14 @@ class N2OChemistry(Component):
         )
 
     def _apply_prescribed(self, ctx, computed):
-        """Concentration-prescribed mode until the switch year (mirror of
-        the CH4 helper; module_02 doc §7.2)."""
-        if self.prescribed_concentrations is None or self.prescribed_until is None:
-            return computed
-        series = np.asarray(self.prescribed_concentrations, dtype=np.float64)
-        idx_next = xm.clip(ctx.step_index + 1, 0, len(series) - 1)
-        prescribed = xm.take(series, idx_next)
-        use_prescribed = ctx.t_next <= float(self.prescribed_until) + 1e-9
-        return xm.where(use_prescribed, prescribed, computed)
+        """Concentration-prescribed mode until the switch year (shared
+        MAGICC7 ``SWITCHFROMCONC2EMIS_YEAR`` semantics — see
+        :mod:`rscm_tpu.magicc.chemistry.prescribed`)."""
+        from .prescribed import apply_prescribed_concentration
+
+        return apply_prescribed_concentration(
+            ctx, computed, self.prescribed_concentrations, self.prescribed_until
+        )
 
     @classmethod
     def magicc7(

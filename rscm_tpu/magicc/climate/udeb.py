@@ -664,9 +664,13 @@ class ClimateUDEB(Component):
         # the 100k MAGICC ensemble's wall-clock
         month_engine = self.month_engine
         if month_engine == "auto":
-            import jax
+            # resolve against the declared execution target (the mesh a
+            # runner is compiling for), not jax.default_backend(): under
+            # the forced-CPU mesh fallback the default backend may be a
+            # TPU — or a hung tunnel that must not even be initialized
+            from rscm_tpu.utils.target import target_platform
 
-            month_engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+            month_engine = "pallas" if target_platform() == "tpu" else "xla"
 
         if self.time_varying_ecs:
             lamcalc_params = LamcalcParams(

@@ -193,25 +193,58 @@ class SeaLevelRise(Component):
             self._gl_table_cache = (t, s)
         return self._gl_table_cache
 
+    def axis_dt(self) -> float:
+        """Time-axis step in years; 1.0 (annual) until a builder sets it."""
+        return float(getattr(self, "_axis_dt", 1.0))
+
+    def validate_time_axis(self, time_axis):
+        """Builder hook: the IRF history is indexed by step, so the axis
+        must be uniform; its step size is baked into the static kernels
+        (ages evaluated at ``step * dt`` years)."""
+        values = np.asarray(time_axis.values(), dtype=np.float64)
+        if len(values) < 2:
+            return
+        diffs = np.diff(values)
+        dt = float(diffs[0])
+        if np.max(np.abs(diffs - dt)) > 1e-9 * max(abs(dt), 1.0):
+            raise ValueError(
+                "SeaLevelRise requires a uniform time axis: the AIS "
+                "discharge IRF history is indexed by time step, so "
+                "variable step sizes would corrupt the convolution "
+                f"(got steps from {diffs.min():g} to {diffs.max():g} yr)"
+            )
+        if dt != self.axis_dt():
+            self._axis_dt = dt
+            self._lev_cache = None  # kernels depend on the step size
+
     def _levermann_kernels(self):
         """Static per-region convolution machinery (§3.6, §8.1-8.2).
 
-        ``R[i] = max(0, poly(i))`` for ages within the IRF span.  The
-        per-step middle sum ``sum_{i=1..idx-2} F(t-i) R(i)`` becomes one
-        dot of the carried history (slot j holds the anomaly written at
-        relative step j) against row ``idx`` of the static matrix
-        ``W[idx, j] = R(idx - j) for 2 <= j <= idx-1`` — the spec's exact
-        index window.  ``F(start) = 0`` kills the far corner term.
+        ``R[i] = max(0, poly(i * dt))`` for ages within the IRF span,
+        where ``dt`` is the (uniform) axis step in years — annual axes
+        reproduce the spec exactly; finer/coarser axes evaluate the same
+        polynomial response at the true age.  The per-step middle sum
+        ``sum_{i} F(t-i) R(i)`` becomes one dot of the carried history
+        (slot j holds the anomaly written at relative step j) against row
+        ``idx`` of the static matrix ``W[idx, j] = R(idx - j) for
+        2 <= j <= idx-1`` — the spec's exact index window (the two-slot
+        exclusion is 2*dt years off-spec on non-annual axes).
+        ``F(start) = 0`` kills the far corner term.
         """
         if getattr(self, "_lev_cache", None) is None:
             n = int(self.max_history_steps)
-            span = int(self.ais_sid_irf_yrspan)
-            ages = np.arange(n, dtype=np.float64)
+            span = float(self.ais_sid_irf_yrspan)
+            dt = self.axis_dt()
+            ages = np.arange(n, dtype=np.float64) * dt
             kernels = {}
-            rows = {}
             for name, (coefs, delay, scaling) in _AIS_IRF.items():
                 r = np.maximum(0.0, np.polyval(coefs, ages))
                 r[ages >= span] = 0.0
+                # the spec's annual sum is a Riemann sum of the IRF
+                # integral with dt = 1 yr; finer/coarser steps weight
+                # each term by their dt so the discharge converges to
+                # the same integral (exactly the spec value at dt = 1)
+                r = r * dt
                 w = np.zeros((n, n))
                 for idx in range(n):
                     j = np.arange(2, max(idx, 2))  # 2 .. idx-1
@@ -324,14 +357,20 @@ class SeaLevelRise(Component):
         ``c_R * basalmelt * (dT(t) R(0) + dot(hist, W_R[idx]))``."""
         start = float(self.ais_sid_startyear)
         n = int(self.max_history_steps)
+        dt_axis = self.axis_dt()
         started = state["started"]
         # latch the start-year temperature the first time t reaches it
         crossing = (t >= start) & (started == 0.0)
         t_at_start = xm.where(crossing, t_global, state["t_at_start"])
         started = xm.where(crossing, 1.0, started)
 
-        idx_f = t - start
-        idx = xm.clip(idx_f, 0.0, float(n - 1))
+        # slot index counts *steps* past the start year (not years): on a
+        # non-annual uniform axis every step still gets its own slot, and
+        # the kernels are evaluated at the true age step*dt (see
+        # _levermann_kernels)
+        idx_f = (t - start) / dt_axis
+        # +1e-6 so a 2.9999999996 from the division truncates to 3, not 2
+        idx = xm.clip(idx_f + 1e-6, 0.0, float(n - 1))
         anomaly = t_global - t_at_start
 
         hist = state["t_hist"]
@@ -362,7 +401,8 @@ class SeaLevelRise(Component):
                 r0 = r[0]
             middle = xm.dot(hist, row)
             region = (anomaly * r0 + middle) * scaling * self.ais_sid_basalmelt
-            active = idx_f >= float(delay)
+            # per-region delay is in years; idx_f counts steps
+            active = idx_f * dt_axis >= float(delay)
             conv_mm = conv_mm + xm.where(active, region * 1000.0, 0.0)
 
         gated = xm.where(t > start, conv_mm * self.ais_sid_scaling, 0.0)

@@ -360,7 +360,12 @@ def lamcalc_scalars(params, ecs, fallback):
             float(np.asarray(fallback[3])),
         ),
     )
-    interpret = jax.default_backend() != "tpu"
+    # target-aware, mirroring udeb_month: follow the declared execution
+    # target so a CPU mesh gets interpret mode without touching the
+    # default backend
+    from rscm_tpu.utils.target import target_platform
+
+    interpret = target_platform() != "tpu"
     ecs = jnp.asarray(ecs)
     wdt = ecs.dtype
 

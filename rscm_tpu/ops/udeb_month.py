@@ -361,8 +361,9 @@ def _tile_geometry(b: int, interpret: bool):
 
     Interpret mode (CPU tests) and small batches use small tiles so the
     batch-of-1 primal doesn't pad to a full production tile; at ensemble
-    scale the full (8, 512) tile (4096 members) amortizes per-op overhead
-    and keeps every row op granule-dense.
+    scale the full (TILE_SUB, TILE_LANES) = (8, 256) tile (2048 members)
+    amortizes per-op overhead and keeps every row op granule-dense.
+    (8, 512) would exceed scoped VMEM — see the budget note at the top.
     """
     if interpret:
         return 1, 128
@@ -568,5 +569,10 @@ def udeb_year_update(comp, dt_year, scalars, ocean, init_prof, vec):
         # non-unit annual step: fold into dt_sub statically
         st = UdebStatic(**{**st.__dict__, "dt_sub": float(dt_year) / st.steps})
 
-    interpret = jax.default_backend() != "tpu"
+    # target-aware: an explicit month_engine="pallas" on a CPU mesh runs
+    # the kernel in interpret mode instead of consulting (and possibly
+    # initializing) the default backend
+    from rscm_tpu.utils.target import target_platform
+
+    interpret = target_platform() != "tpu"
     return _get_member_fn(st, interpret)(scalars, ocean, init_prof, vec)

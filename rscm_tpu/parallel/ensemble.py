@@ -111,6 +111,8 @@ class EnsembleRunner:
         sharded over its batch axis, scalars replicated) or an explicit
         ``device``.  With neither, the leaves go to the default device if it
         is healthy, else stay host-side (``jit`` places them at call time).
+        A batch not divisible by the mesh's device count stays host-side
+        too — :meth:`run` pads it before placing.
         """
         import jax
 
@@ -155,6 +157,13 @@ class EnsembleRunner:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            (batch,) = sizes
+            if batch % mesh.devices.size != 0:
+                # An uneven batch cannot be committed to a sharded layout
+                # (device_put would raise); :meth:`run` pads uneven batches
+                # before placing, so keep the leaves host-side and let its
+                # pad-then-place path shard them.
+                return out
             axis = mesh.axis_names[0]
             batched = NamedSharding(mesh, P(axis))
             replicated = NamedSharding(mesh, P())
@@ -410,7 +419,13 @@ class EnsembleRunner:
             fn = self._build_fn(exo_axes, start_idx, stream_out, param_axes)
             self._jitted[key] = jax.jit(fn)
 
-        endo_out = self._jitted[key](endo, exo_arg, params, internals)
+        # tracing happens inside this first call: declare the platform it
+        # compiles for, so engine auto-resolution (e.g. the UDEB Pallas
+        # month kernel) follows the mesh, not the default backend
+        from rscm_tpu.utils.target import execution_target, mesh_platform
+
+        with execution_target(mesh_platform(mesh) if mesh is not None else None):
+            endo_out = self._jitted[key](endo, exo_arg, params, internals)
         if out_vars is not None:
             endo_out = {k: v for k, v in endo_out.items() if k in out_vars}
         if pad:

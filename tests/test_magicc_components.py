@@ -608,11 +608,13 @@ class TestMagicc7ChemistryExtensions:
         a, _ = base.solve_concentration(1800.0, 1800.0, 300.0, 2.0, 0, 0, 0)
         b, _ = wet.solve_concentration(1800.0, 1800.0, 300.0, 2.0, 0, 0, 0)
         assert b > a
-        # zero slope must contribute exactly nothing (incl. no NaN leak)
-        c, _ = CH4Chemistry(scheme="magicc7", wetland_slope=0.0).solve_concentration(
-            1800.0, 1800.0, 300.0, np.nan, 0, 0, 0
-        )
-        assert np.isfinite(c) or True  # temp feedback may consume NaN; wetland must not add one
+        # zero slope must contribute exactly nothing (incl. no NaN leak);
+        # temp feedback disabled so the wetland term is the only path a
+        # NaN temperature could reach the concentration through
+        c, _ = CH4Chemistry(
+            scheme="magicc7", wetland_slope=0.0, include_temp_feedback=False
+        ).solve_concentration(1800.0, 1800.0, 300.0, np.nan, 0, 0, 0)
+        assert np.isfinite(c)
 
     def test_ch4_budget_closure_balances_pi(self):
         from rscm_tpu.magicc.chemistry.ch4 import (

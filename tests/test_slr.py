@@ -133,6 +133,47 @@ class TestSpecBehaviour:
         assert lw[199] == pytest.approx(0.4 * 199, rel=1e-9)
         assert lw[-1] < 100.0 + 1e-6
 
+    def test_levermann_subannual_axis_one_slot_per_step(self):
+        """On a uniform non-annual axis the IRF history must give every
+        step its own slot (year-based indexing collided two half-year
+        steps into one slot, silently overwriting anomalies) and the
+        kernels must be evaluated at the true age step*dt."""
+        from rscm_tpu.core import TimeAxis
+
+        years = np.arange(2000.0, 2031.0, 0.5)
+        slr = SeaLevelRise(
+            max_history_steps=len(years) + 1, ais_sid_startyear=2000.0
+        )
+        slr.validate_time_axis(TimeAxis.from_values(years))
+        assert slr.axis_dt() == 0.5
+        temps = np.linspace(0.0, 3.0, len(years))
+        st, outs = drive(slr, years, temps, np.zeros_like(years), dt=0.5)
+        hist = np.asarray(st["t_hist"])
+        # anomalies ramp monotonically -> every step past the start wrote
+        # a distinct slot (with year-based indexing half would collide)
+        written = hist[hist != 0.0]
+        assert len(written) >= len(years) - 2
+        assert outs[-1]["ais_sid"] > 0.0
+
+        # physical convergence: the half-year discretisation of the same
+        # scenario stays in the annual solution's neighbourhood
+        years_a = np.arange(2000.0, 2031.0)
+        slr_a = SeaLevelRise(
+            max_history_steps=len(years_a) + 1, ais_sid_startyear=2000.0
+        )
+        temps_a = np.linspace(0.0, 3.0, len(years_a))
+        _, outs_a = drive(slr_a, years_a, temps_a, np.zeros_like(years_a))
+        assert outs[-1]["ais_sid"] == pytest.approx(
+            outs_a[-1]["ais_sid"], rel=0.35
+        )
+
+    def test_nonuniform_axis_raises_at_build(self):
+        years = np.concatenate([np.arange(2000.0, 2010.0),
+                                np.arange(2010.0, 2030.0, 2.0)])
+        temps = np.zeros(len(years))
+        with pytest.raises(ValueError, match="uniform time axis"):
+            _build_slr_model(years, temps, temps)
+
     def test_semiempirical_rate(self):
         """Rahmstorf rate: T constant 1 K above a 0 K base period with
         zeroratetemp -0.5 -> rate = 0.3353 * 1.5 mm/yr after 2000."""

@@ -82,6 +82,44 @@ def test_assoc_tridiag_matches_sequential():
         )
 
 
+def test_auto_engine_follows_mesh_not_default_backend(monkeypatch):
+    """month_engine='auto' (and every mesh-targeted code path) must
+    resolve against the mesh's platform, never jax.default_backend() —
+    which may be a different platform, or a hung TPU tunnel whose mere
+    initialization blocks (the round-2 MULTICHIP failure mode)."""
+    import jax
+
+    from rscm_tpu.parallel import EnsembleRunner, make_mesh
+
+    years = np.arange(1850.0, 1880.0)
+    erf = np.where(years >= 1851.0, 3.71, 0.0)
+    model = build_model(years, erf, month_engine="auto")
+    mesh = make_mesh(2, devices=jax.devices("cpu")[:2])
+
+    def boom():
+        raise AssertionError(
+            "jax.default_backend() consulted during a mesh-targeted run"
+        )
+
+    monkeypatch.setattr(jax, "default_backend", boom)
+    runner = EnsembleRunner(model)
+    params = runner.batched_params({"ClimateUDEB.ecs": np.array([2.0, 4.0])}, mesh=mesh)
+    out = runner.run(params=params, mesh=mesh, out_vars=["Sea Surface Temperature"])
+    assert np.all(np.isfinite(np.asarray(out["Sea Surface Temperature"])[:, 1:]))
+
+
+def test_execution_target_resolution():
+    from rscm_tpu.utils.target import execution_target, target_platform
+
+    with execution_target("tpu"):
+        assert target_platform() == "tpu"
+        with execution_target("cpu"):
+            assert target_platform() == "cpu"
+        assert target_platform() == "tpu"
+    # outside any block: falls back to the default backend (cpu in tests)
+    assert target_platform() == "cpu"
+
+
 def test_udeb_ensemble_vmaps():
     """A UDEB parameter ensemble runs as one vmapped program."""
     from rscm_tpu.parallel import EnsembleRunner
