@@ -9,6 +9,7 @@ uses ``.npz`` instead of postcard, with the same 1 GiB cap.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List
 
 import numpy as np
@@ -77,7 +78,9 @@ class Chain:
                 f"Chain too large to save ({nbytes / 2**30:.2f} GiB > 1 GiB cap); "
                 f"increase thinning"
             )
-        with open(path, "wb") as f:  # exact filename (np would append .npz)
+        # atomic: a crash mid-write must not destroy the previous save
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:  # exact filename (np would append .npz)
             np.savez_compressed(
                 f,
                 samples=samples,
@@ -86,6 +89,7 @@ class Chain:
                 thin=self.thin,
                 total_iterations=self.total_iterations,
             )
+        os.replace(tmp, path)
 
     @staticmethod
     def load(path: str) -> "Chain":

@@ -143,13 +143,21 @@ class CompiledModelRunner(ModelRunner):
             for name, targets in param_map.items()
         }
 
-        # resolve Component.param -> (node_key, param_name)
+        # resolve Component.param -> (node_key, param_name); duplicate
+        # component names must be a hard error — silently letting the last
+        # node win would bind calibration parameters to the wrong instance
+        # and produce wrong posteriors with no diagnostic
         name_for_node = {}
         for node in self.program.exec_nodes:
             comp = model.graph.nodes[node]
-            name_for_node[
-                getattr(comp, "component_name", type(comp).__name__)
-            ] = str(node)
+            comp_name = getattr(comp, "component_name", type(comp).__name__)
+            if comp_name in name_for_node:
+                raise ValueError(
+                    f"CompiledModelRunner: two components share the name "
+                    f"{comp_name!r}; param_map targets would be ambiguous. "
+                    "Give each instance a distinct component_name."
+                )
+            name_for_node[comp_name] = str(node)
         self._targets = {}
         base = self.program.gather_params()
         for name, targets in self.param_map.items():
@@ -167,6 +175,7 @@ class CompiledModelRunner(ModelRunner):
             self._targets[name] = resolved
         self._base_params = base
         self._cached = None
+        self._cached_batch = None
 
     def param_names(self):
         return self._param_names
@@ -220,7 +229,12 @@ class CompiledModelRunner(ModelRunner):
         import jax
 
         thetas = np.asarray(param_sets, dtype=self.program.dtype)
-        batched = jax.jit(jax.vmap(self.trajectories_fn()))(thetas)
+        if self._cached_batch is None:
+            # cache like run(): trajectories_fn() returns a fresh closure
+            # each call, so an uncached jit(vmap(...)) would retrace and
+            # recompile the whole model program on every batch
+            self._cached_batch = jax.jit(jax.vmap(self.trajectories_fn()))
+        batched = self._cached_batch(thetas)
         outputs = []
         times = self.model.time_axis.values()
         for i in range(thetas.shape[0]):

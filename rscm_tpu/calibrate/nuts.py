@@ -110,9 +110,7 @@ class NUTSSampler:
         interval = finite_lo & finite_hi
         lo_safe = jnp.asarray(np.where(finite_lo, lower, 0.0))
         hi_safe = jnp.asarray(np.where(finite_hi, upper, 1.0))
-        width_safe = jnp.asarray(
-            np.where(interval, np.where(interval, upper - lower, 1.0), 1.0)
-        )
+        width_safe = jnp.asarray(np.where(interval, upper - lower, 1.0))
         interval = jnp.asarray(interval)
         finite_lo = jnp.asarray(finite_lo)
         finite_hi = jnp.asarray(finite_hi)

@@ -135,7 +135,10 @@ class SamplerState:
         return float(self.n_accepted.sum() / total) if total else 0.0
 
     def save_checkpoint(self, path: str):
-        with open(path, "wb") as f:  # exact filename (np would append .npz)
+        # atomic: a crash mid-write must not destroy the previous
+        # checkpoint (the exact failure checkpoints exist to survive)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:  # exact filename (np would append .npz)
             np.savez_compressed(
                 f,
                 positions=self.positions,
@@ -145,6 +148,7 @@ class SamplerState:
                 iteration=self.iteration,
                 param_names=np.asarray(self.param_names, dtype=object),
             )
+        os.replace(tmp, path)
 
     @staticmethod
     def load_checkpoint(path: str) -> "SamplerState":
@@ -273,6 +277,7 @@ class EnsembleSampler:
         n_walkers: Optional[int] = None,
         seed: Optional[int] = None,
         engine: Optional[str] = None,
+        mesh=None,
     ) -> Chain:
         n_walkers = n_walkers or self.default_n_walkers
         rng = np.random.default_rng(seed)
@@ -288,6 +293,7 @@ class EnsembleSampler:
             engine,
             checkpoint_every=checkpoint_every,
             checkpoint_path=checkpoint_path,
+            mesh=mesh,
         )
 
     def resume_from_checkpoint(
@@ -299,6 +305,7 @@ class EnsembleSampler:
         progress_callback=None,
         seed: Optional[int] = None,
         engine: Optional[str] = None,
+        mesh=None,
     ) -> Chain:
         state = SamplerState.load_checkpoint(checkpoint_path + ".state")
         chain = Chain.load(checkpoint_path + ".chain")
@@ -315,6 +322,7 @@ class EnsembleSampler:
             engine,
             checkpoint_every=checkpoint_every,
             checkpoint_path=checkpoint_path,
+            mesh=mesh,
         )
 
     # -- engines ----------------------------------------------------------------
@@ -368,11 +376,18 @@ class EnsembleSampler:
             checkpoint_path,
         )
 
-    def _maybe_checkpoint(self, state, chain, iteration, every, path):
+    def _maybe_checkpoint(self, state, chain, iteration, every, path, base=0):
+        """``iteration`` counts within the current run; ``base`` is the
+        absolute iteration the run resumed from, so checkpoints written
+        during a resumed run record total progress (otherwise a second
+        resume would redo completed iterations and duplicate samples)."""
         if every and path and (iteration + 1) % every == 0:
-            state.iteration = iteration + 1
-            state.save_checkpoint(path + ".state")
+            state.iteration = base + iteration + 1
+            # chain first: a crash between the two writes must leave
+            # state.iteration <= the iterations the saved chain covers
+            # (the reverse order loses samples on resume)
             chain.save(path + ".chain")
+            state.save_checkpoint(path + ".state")
 
     # .. host engine (reference-faithful loop) ...................................
 
@@ -382,6 +397,7 @@ class EnsembleSampler:
     ):
         n_walkers = state.positions.shape[0]
         half = n_walkers // 2
+        base_iteration = int(state.iteration)
         if not np.all(np.isfinite(state.log_probs)) and state.iteration == 0:
             state.log_probs = self.log_posterior_batch(list(state.positions))
 
@@ -399,7 +415,8 @@ class EnsembleSampler:
                     )
                 )
             self._maybe_checkpoint(
-                state, chain, iteration, checkpoint_every, checkpoint_path
+                state, chain, iteration, checkpoint_every, checkpoint_path,
+                base=base_iteration,
             )
         return chain
 
@@ -536,10 +553,20 @@ class EnsembleSampler:
                 log_probs = jnp.asarray(state.log_probs, dtype=dtype)
             n_accepted = jnp.asarray(state.n_accepted)
 
-            # chunk the scan so checkpoints/progress fire at the requested cadence
-            chunk = checkpoint_every or n_iterations
+            # chunk the scan so checkpoints fire at the requested cadence;
+            # a progress callback without checkpointing still gets ~20
+            # updates over the run (per-iteration host callbacks are
+            # impossible inside a device scan, but one callback after the
+            # whole run would make the progress contract a no-op)
+            if checkpoint_every:
+                chunk = checkpoint_every
+            elif progress_callback is not None:
+                chunk = max(1, n_iterations // 20)
+            else:
+                chunk = n_iterations
             seed = int(rng.integers(0, 2**63 - 1))
             key = jr.PRNGKey(seed)
+        base_iteration = int(state.iteration)
         done = 0
         while done < n_iterations:
             todo = min(chunk, n_iterations - done)
@@ -568,6 +595,7 @@ class EnsembleSampler:
                     )
                 )
             self._maybe_checkpoint(
-                state, chain, done - 1, checkpoint_every, checkpoint_path
+                state, chain, done - 1, checkpoint_every, checkpoint_path,
+                base=base_iteration,
             )
         return chain

@@ -56,18 +56,39 @@ def _extract(config: Any):
 
 
 def _resolve_inputs(inputs: dict, time_config: dict, base_dir):
-    """Input specs -> Timeseries: ``{file=..}`` loads a scenario CSV;
+    """Input specs -> Timeseries: ``{file=..}`` loads a scenario CSV (also
+    accepts :class:`~rscm_tpu.config.base.InputSpec` dataclasses);
     ``{values=[..], times=[..]}`` builds inline data; a bare number is a
-    constant over the model's time span."""
+    constant over the model's time span.  ``required`` specs without a
+    usable file are a hard error; optional incomplete specs are skipped."""
     from rscm_tpu.core import TimeAxis, Timeseries
     from rscm_tpu.core.spatial import ScalarGrid
 
     out = {}
     for name, spec in (inputs or {}).items():
-        if isinstance(spec, dict) and spec.get("file"):
+        if is_dataclass(spec) and not isinstance(spec, type):
+            # typed configs carry InputSpec dataclasses (config/base.py)
+            if getattr(spec, "file", None) is None:
+                if getattr(spec, "required", False):
+                    raise ValueError(
+                        f"input '{name}': required but no file given "
+                        f"({spec!r})"
+                    )
+                continue  # optional input not provided
             from rscm_tpu.utils.scenario_io import load_input_spec
 
             out[name] = load_input_spec(name, spec, base_dir=base_dir)
+        elif isinstance(spec, dict) and spec.get("file"):
+            from rscm_tpu.utils.scenario_io import load_input_spec
+
+            out[name] = load_input_spec(
+                name, spec, base_dir=spec.get("_base_dir", base_dir)
+            )
+        elif isinstance(spec, dict) and spec.get("required") and "values" not in spec:
+            raise ValueError(
+                f"input '{name}': required but no file or inline values "
+                f"given ({spec!r})"
+            )
         elif isinstance(spec, dict) and "values" in spec:
             times = np.asarray(spec["times"], dtype=float)
             values = np.asarray(spec["values"], dtype=float)

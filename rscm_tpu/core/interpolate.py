@@ -58,6 +58,10 @@ class InterpolationStrategy:
     extrapolate: bool = True
 
     def to_json(self) -> str:
+        # kind only — the reference's serde impl drops the extrapolate
+        # flag on save and restores True on load
+        # (interpolate/strategies/mod.rs:156-185); mirrored deliberately
+        # so round-tripped collections behave identically
         return self.kind.value
 
     @staticmethod
@@ -140,7 +144,13 @@ def interpolate_host(
 
     ``time`` may have the same length as ``y`` or one more (bounds); the
     linear strategy restricts segment search to ``time[:len(time)-1]``
-    (matching ``linear_spline.rs:34-38``).
+    (matching ``linear_spline.rs:34-48``).  Deliberate reference parity:
+    with values-length ``time`` the reference treats the LAST data point
+    as forward extrapolation too — ``at_time(t_last)`` raises under
+    ``LinearSpline(False)`` and reproduces ``y[-1]`` only up to float
+    round-off under ``LinearSpline(True)`` (its own tests pass bounds-
+    style arrays; ``at_time_all`` passes ``values()``).  Do not "fix"
+    this here: the reference suite pins the behaviour.
     """
     time = np.asarray(time, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
@@ -253,8 +263,9 @@ def interpolate_traced(time, y, target, strategy: InterpolationStrategy):
         False,
     )
     if strategy.kind is InterpolationKind.Next:
-        val = y[jnp.clip(idx, 0, n - 1)]
-        return jnp.where(on_boundary, y[jnp.minimum(idx, n - 1)], val)
+        # the boundary value IS y[min(idx, n-1)] — identical to the
+        # in-segment gather, so no on_boundary select is needed
+        return y[jnp.clip(idx, 0, n - 1)]
     if strategy.kind is InterpolationKind.Previous:
         prev = y[jnp.clip(idx - 1, 0, n - 1)]
         boundary_val = y[jnp.minimum(idx, n - 1)]

@@ -106,13 +106,64 @@ class ModelProgram:
 
     # -- functional core -----------------------------------------------------
 
-    def _make_step_fn(self, exo):
-        """Close the step function over static plan + exogenous arrays."""
-        import jax.lax as lax
+    def _solve_all_nodes(self, endo, internals, ctx, params_xs,
+                         make_builder, write_row):
+        """Shared per-step solve skeleton for both scan modes.
+
+        Solves every node in topological order: builds its input windows
+        via ``make_builder(spec, item, endo)``, binds traced parameters,
+        applies write-spec grid matrices, and commits endogenous rows via
+        ``write_row(endo, key, row)``.  The full and streaming step
+        functions differ only in those two callbacks (how a window sees
+        storage, and where a row lands) — everything else must stay
+        identical or the modes drift apart.
+        """
         import jax.numpy as jnp
 
         model = self.model
         plan = model._plan
+        endo_set = set(self.endo_names)
+
+        for node in self.exec_nodes:
+            component = model.graph.nodes[node]
+            read_specs, write_specs = plan[node]
+
+            builders = {}
+            for spec in read_specs:
+                item = model.collection.get_item(spec.var_name)
+                builders[spec.var_name] = make_builder(spec, item, endo)
+            input_state = InputState(builders, ctx.t_current)
+
+            params = params_xs[str(node)] if str(node) in params_xs else {}
+            traced_component = (
+                component.with_params(params) if params else component
+            )
+
+            inputs = prepare_inputs(traced_component, input_state)
+            outputs, new_internal = traced_component.solve_ctx(
+                ctx, inputs, internals.get(str(node))
+            )
+            internals = {**internals, str(node): new_internal}
+
+            if hasattr(outputs, "to_dict"):
+                outputs = outputs.to_dict()
+            for key, value in outputs.items():
+                sv = StateValue.wrap(value)
+                spec = write_specs.get(key)
+                row = jnp.asarray(sv.as_array(), dtype=self.dtype)
+                if spec is not None and spec.matrix is not None:
+                    row = row @ jnp.asarray(spec.matrix, dtype=self.dtype)
+                if key not in endo_set:
+                    continue
+                endo = write_row(endo, key, row)
+
+        return endo, internals
+
+    def _make_step_fn(self, exo):
+        """Close the step function over static plan + exogenous arrays."""
+        import jax.lax as lax
+
+        model = self.model
         time_values = self.time_values
         endo_set = set(self.endo_names)
 
@@ -125,61 +176,38 @@ class ModelProgram:
                 t_current, t_next, idx, spans=self.spans, scan_mode=True
             )
 
-            for node in self.exec_nodes:
-                component = model.graph.nodes[node]
-                read_specs, write_specs = plan[node]
-
-                builders = {}
-                for spec in read_specs:
-                    values = (
-                        endo[spec.var_name]
-                        if spec.var_name in endo_set
-                        else exo[spec.var_name]
-                    )
-                    item = model.collection.get_item(spec.var_name)
-
-                    def make(spec=spec, values=values, item=item):
-                        return make_window(
-                            spec.window_grid,
-                            values,
-                            idx,
-                            t_current,
-                            factor=spec.factor,
-                            source=spec.source,
-                            strategy=item.data.interpolation_strategy,
-                            time_values=time_values,
-                            grid=model._grid_obj(spec.window_grid),
-                            aggregation=spec.aggregation,
-                        )
-
-                    builders[spec.var_name] = make
-                input_state = InputState(builders, t_current)
-
-                params = xs["params"][str(node)] if str(node) in xs["params"] else {}
-                traced_component = component.with_params(params) if params else component
-
-                inputs = prepare_inputs(traced_component, input_state)
-                outputs, new_internal = traced_component.solve_ctx(
-                    ctx, inputs, internals.get(str(node))
+            def make_builder(spec, item, endo):
+                values = (
+                    endo[spec.var_name]
+                    if spec.var_name in endo_set
+                    else exo[spec.var_name]
                 )
-                internals = {**internals, str(node): new_internal}
 
-                if hasattr(outputs, "to_dict"):
-                    outputs = outputs.to_dict()
-                for key, value in outputs.items():
-                    sv = StateValue.wrap(value)
-                    spec = write_specs.get(key)
-                    row = jnp.asarray(sv.as_array(), dtype=self.dtype)
-                    if spec is not None and spec.matrix is not None:
-                        row = row @ jnp.asarray(spec.matrix, dtype=self.dtype)
-                    if key not in endo_set:
-                        continue
-                    arr = endo[key]
-                    arr = lax.dynamic_update_slice_in_dim(
-                        arr, row[None, :], idx + 1, axis=0
+                def make(spec=spec, values=values, item=item):
+                    return make_window(
+                        spec.window_grid,
+                        values,
+                        idx,
+                        t_current,
+                        factor=spec.factor,
+                        source=spec.source,
+                        strategy=item.data.interpolation_strategy,
+                        time_values=time_values,
+                        grid=model._grid_obj(spec.window_grid),
+                        aggregation=spec.aggregation,
                     )
-                    endo = {**endo, key: arr}
 
+                return make
+
+            def write_row(endo, key, row):
+                arr = lax.dynamic_update_slice_in_dim(
+                    endo[key], row[None, :], idx + 1, axis=0
+                )
+                return {**endo, key: arr}
+
+            endo, internals = self._solve_all_nodes(
+                endo, internals, ctx, xs["params"], make_builder, write_row
+            )
             return (endo, internals), None
 
         return step_fn
@@ -194,7 +222,14 @@ class ModelProgram:
         hooks skip them and the components fall back to the windowed dot.
         """
         if not hasattr(self, "_uniform_dt_cache"):
-            dts = np.diff(np.asarray(self.time_values, dtype=np.float64))
+            # diff the float64 axis source, not the dtype-cast
+            # self.time_values: under the default float32 program a
+            # uniform monthly axis (dt = 1/12) picks up ~1e-7 relative
+            # rounding in its f32 diffs and would be misclassified as
+            # non-uniform, silently skipping every scan-layout hook
+            dts = np.diff(
+                np.asarray(self.model.time_axis.values(), dtype=np.float64)
+            )
             self._uniform_dt_cache = (
                 float(dts[0])
                 if dts.size and np.allclose(dts, dts[0], rtol=1e-12, atol=0.0)
@@ -289,7 +324,6 @@ class ModelProgram:
         import jax.numpy as jnp
 
         model = self.model
-        plan = model._plan
         endo_set = set(self.endo_names)
         lookbacks = self.lookbacks
         l_max = max(lookbacks.values(), default=1)
@@ -318,77 +352,65 @@ class ModelProgram:
             )
             time_win = global_time_window(idx)
 
-            for node in self.exec_nodes:
-                component = model.graph.nodes[node]
-                read_specs, write_specs = plan[node]
+            def make_builder(spec, item, endo):
+                if spec.var_name in endo_set:
+                    lb = lookbacks[spec.var_name]
 
-                builders = {}
-                for spec in read_specs:
-                    item = model.collection.get_item(spec.var_name)
-                    if spec.var_name in endo_set:
-                        lb = lookbacks[spec.var_name]
+                    def make(spec=spec, lb=lb, item=item, endo=endo):
+                        return make_window(
+                            spec.window_grid,
+                            endo[spec.var_name],
+                            lb,  # static: buffer row of step N
+                            t_current,
+                            factor=spec.factor,
+                            source=spec.source,
+                            strategy=item.data.interpolation_strategy,
+                            time_values=time_win[l_max - lb:],
+                            grid=model._grid_obj(spec.window_grid),
+                            aggregation=spec.aggregation,
+                        )
 
-                        def make(spec=spec, lb=lb, item=item):
-                            return make_window(
-                                spec.window_grid,
-                                endo[spec.var_name],
-                                lb,  # static: buffer row of step N
-                                t_current,
-                                factor=spec.factor,
-                                source=spec.source,
-                                strategy=item.data.interpolation_strategy,
-                                time_values=time_win[l_max - lb:],
-                                grid=model._grid_obj(spec.window_grid),
-                                aggregation=spec.aggregation,
-                            )
+                else:
 
-                    else:
+                    def make(spec=spec, item=item):
+                        return make_window(
+                            spec.window_grid,
+                            exo[spec.var_name],
+                            idx,
+                            t_current,
+                            factor=spec.factor,
+                            source=spec.source,
+                            strategy=item.data.interpolation_strategy,
+                            time_values=self.time_values,
+                            grid=model._grid_obj(spec.window_grid),
+                            aggregation=spec.aggregation,
+                        )
 
-                        def make(spec=spec, item=item):
-                            return make_window(
-                                spec.window_grid,
-                                exo[spec.var_name],
-                                idx,
-                                t_current,
-                                factor=spec.factor,
-                                source=spec.source,
-                                strategy=item.data.interpolation_strategy,
-                                time_values=self.time_values,
-                                grid=model._grid_obj(spec.window_grid),
-                                aggregation=spec.aggregation,
-                            )
+                return make
 
-                    builders[spec.var_name] = make
-                input_state = InputState(builders, t_current)
+            def write_row(endo, key, row):
+                return {**endo, key: endo[key].at[lookbacks[key] + 1].set(row)}
 
-                params = xs["params"][str(node)] if str(node) in xs["params"] else {}
-                traced_component = component.with_params(params) if params else component
-
-                inputs = prepare_inputs(traced_component, input_state)
-                outputs, new_internal = traced_component.solve_ctx(
-                    ctx, inputs, internals.get(str(node))
-                )
-                internals = {**internals, str(node): new_internal}
-
-                if hasattr(outputs, "to_dict"):
-                    outputs = outputs.to_dict()
-                for key, value in outputs.items():
-                    sv = StateValue.wrap(value)
-                    spec = write_specs.get(key)
-                    row = jnp.asarray(sv.as_array(), dtype=self.dtype)
-                    if spec is not None and spec.matrix is not None:
-                        row = row @ jnp.asarray(spec.matrix, dtype=self.dtype)
-                    if key not in endo_set:
-                        continue
-                    endo = {**endo, key: endo[key].at[lookbacks[key] + 1].set(row)}
+            endo, internals = self._solve_all_nodes(
+                endo, internals, ctx, xs["params"], make_builder, write_row
+            )
 
             ys = {name: endo[name][lookbacks[name] + 1] for name in out_vars}
-            # roll every buffer one step forward; the fresh N+1 slot is NaN
-            # (unwritten), matching the full mode's NaN-filled storage
+            # roll every buffer one step forward.  The fresh N+1 slot is
+            # the collection's stored row for that absolute index: NaN for
+            # ordinary (empty) endogenous storage — but the builder can
+            # pre-populate endogenous variables from exogenous data, and a
+            # component may legally omit an output write (runtime.rs:452
+            # iterates only the returned outputs), in which case the full
+            # mode preserves the stored value and streaming must match.
+            prefill = xs.get("prefill", {})
             rolled = {}
             for name, buf in endo.items():
-                nan_row = jnp.full((1, buf.shape[1]), np.nan, dtype=buf.dtype)
-                rolled[name] = jnp.concatenate([buf[1:], nan_row], axis=0)
+                if name in prefill:  # static membership at trace time
+                    fresh = jnp.asarray(prefill[name], dtype=buf.dtype)[None, :]
+                else:
+                    fresh = jnp.full((1, buf.shape[1]), np.nan, dtype=buf.dtype)
+                rolled[name] = jnp.concatenate([buf[1:], fresh], axis=0)
             return (rolled, internals), ys
 
         return step_fn
@@ -424,7 +446,21 @@ class ModelProgram:
             "idx": jnp.asarray(idxs),
             "t": jnp.asarray(self.time_bounds[idxs], dtype=self.dtype),
             "t_next": jnp.asarray(self.time_bounds[idxs + 1], dtype=self.dtype),
+            "prefill": {},
         }
+        # per-step roll-in rows for endogenous variables whose storage is
+        # pre-populated beyond the start (builder's exogenous-data path):
+        # the full mode preserves those rows when a component skips a
+        # write, so the streaming roll must supply them too.  Ordinary
+        # NaN-filled variables skip this (zero overhead).
+        for name in self.endo_names:
+            vals = np.asarray(
+                self.model.collection.get_data(name)._values, dtype=self.dtype
+            )
+            future = vals[min(start_idx + 2, len(vals)) :]
+            if future.size and not np.all(np.isnan(future)):
+                rows = vals[np.clip(idxs + 2, 0, self.n_steps - 1)]
+                xs["prefill"][name] = jnp.asarray(rows)
 
         step_fn = self._make_window_step_fn(exo, out_vars)
         internals = self._pack_internals(internals, start_idx)
@@ -460,7 +496,10 @@ class ModelProgram:
             )
             lb = self.lookbacks[name]
             rows = [vals[max(0, start_idx - lb + k)] for k in range(lb + 1)]
-            rows.append(vals[start_idx + 1])
+            # clamp: at the final time index there is no row start_idx+1
+            # (run_window_fn's n_run <= 0 short-circuit still needs valid
+            # buffers to return)
+            rows.append(vals[min(start_idx + 1, len(vals) - 1)])
             bufs[name] = np.stack(rows)
         return bufs
 
@@ -532,7 +571,12 @@ class ModelProgram:
 
         for name, arr in endo_out.items():
             data = model.collection.get_data(name)
-            data._values[:, :] = np.asarray(arr, dtype=np.float64)
+            # only the scan-written rows (start_idx+1 onward): earlier rows
+            # are committed history — possibly float64 from eager stepping —
+            # and must not round-trip through the program dtype
+            data._values[start_idx + 1 :, :] = np.asarray(
+                arr, dtype=np.float64
+            )[start_idx + 1 :]
             data._recompute_latest()
         for node in self.exec_nodes:
             new_state = internals_out.get(str(node))

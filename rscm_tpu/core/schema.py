@@ -226,6 +226,11 @@ class VariableSchema:
                         f"{agg_def.grid_type}"
                     )
             if agg_def.operation.kind == "Weighted":
+                if agg_def.operation.weights is None:
+                    raise SchemaValidationError(
+                        f"Aggregate '{agg_name}': Weighted operation "
+                        "requires weights"
+                    )
                 if len(agg_def.operation.weights) != len(agg_def.contributors):
                     raise SchemaValidationError(
                         f"Weight count mismatch in aggregate '{agg_name}': "

@@ -106,7 +106,11 @@ class _Weights(np.ndarray):
 
 
 def _as_weights(values) -> "_Weights":
-    w = np.asarray(values, dtype=np.float64).view(_Weights)
+    # copy, never view: asarray on a float64 input returns the CALLER'S
+    # array, and the read-only flag on a view does not protect a writable
+    # base — the caller could silently mutate the grid's weights (and its
+    # __hash__/__eq__/aggregation) through their own reference
+    w = np.array(values, dtype=np.float64).view(_Weights)
     w.setflags(write=False)
     return w
 

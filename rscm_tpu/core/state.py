@@ -150,9 +150,19 @@ class _Slice:
     def __eq__(self, other):
         if not isinstance(other, _Slice):
             return NotImplemented
-        return type(self) is type(other) and all(
-            a == b for a, b in zip(self._values, other._values)
-        )
+        if type(self) is not type(other):
+            return False
+        comparisons = [a == b for a, b in zip(self._values, other._values)]
+        if any(is_traced(c) for c in comparisons):
+            # traced values: return the traced conjunction instead of
+            # letting all() force a TracerBoolConversionError
+            import jax.numpy as jnp
+
+            out = comparisons[0]
+            for c in comparisons[1:]:
+                out = jnp.logical_and(out, c)
+            return out
+        return all(bool(c) for c in comparisons)
 
     def __repr__(self):
         fields = ", ".join(f"{n}={v!r}" for n, v in zip(self._field_names, self._values))
@@ -304,8 +314,6 @@ class StateValue:
             return NotImplemented
         if self.kind is not other.kind:
             return False
-        if self.is_scalar():
-            return self.value == other.value
         return self.value == other.value
 
     def __repr__(self):
@@ -471,12 +479,19 @@ class ScalarWindow(_WindowBase):
         return None if row is None else row[0]
 
     def last_n(self, n: int):
-        """Most recent n values ending at the current index (inclusive)."""
-        if self._traced:
-            import jax.lax as lax
+        """Most recent n values ending at the current index (inclusive).
 
-            start = self.current_index + 1 - n
-            out = lax.dynamic_slice_in_dim(self.values[:, 0], start, n)
+        Host path: asserts ``n <= index + 1``.  Traced path: the index is
+        a tracer, so the bound cannot be asserted at trace time; rows that
+        would precede the start of the series come back as NaN (a silent
+        clamp would return *shifted* data from the wrong time window).
+        """
+        if self._traced:
+            import jax.numpy as jnp
+
+            rows = self.current_index + 1 - n + jnp.arange(n)
+            gathered = jnp.take(self.values[:, 0], jnp.clip(rows, 0, None))
+            out = jnp.where(rows >= 0, gathered, jnp.nan)
             return out * self.factor if self.factor != 1.0 else out
         idx = int(self.current_index)
         assert n <= idx + 1, f"Cannot get {n} values when only {idx + 1} available"

@@ -121,6 +121,9 @@ class GridTimeseries:
         return None
 
     def set_index(self, time_index: int, region_index: int, value: float):
+        # latest only ever advances on a fully-valid row; a NaN overwrite
+        # of the current latest row deliberately does NOT lower it —
+        # reference parity (timeseries.rs:388-394 guards identically)
         self._values[time_index, region_index] = value
         if time_index >= self._latest and not math.isnan(value):
             if not np.any(np.isnan(self._values[time_index])):
@@ -300,6 +303,12 @@ class GridTimeseries:
             d.get("units", ""),
             InterpolationStrategy.from_json(d.get("interpolation_strategy", "Linear")),
         )
+        if "latest" in d:
+            # honor the stored tracker (the reference round-trips the
+            # `latest` field verbatim, timeseries.rs:260-273); recomputing
+            # from NaN rows can shift it when the pointer deliberately
+            # differs from the last fully-valid row
+            ts._latest = int(d["latest"])
         return ts
 
 
@@ -351,9 +360,13 @@ class TimeseriesCollection:
     def _add(self, name: str, data: GridTimeseries, variable_type: VariableType):
         if name in self._index:
             raise ValueError(f"timeseries {name} already exists")
-        self._items.append(TimeseriesItem(data, name, variable_type))
-        self._items.sort(key=lambda item: item.name)
-        self._index = {item.name: i for i, item in enumerate(self._items)}
+        # bisect keeps the by-name ordering with one O(n) insert (a full
+        # re-sort per item made bulk building O(n^2 log n))
+        import bisect
+
+        i = bisect.bisect([item.name for item in self._items], name)
+        self._items.insert(i, TimeseriesItem(data, name, variable_type))
+        self._index = {item.name: k for k, item in enumerate(self._items)}
 
     def add_timeseries(
         self, name: str, timeseries: GridTimeseries,
@@ -389,11 +402,16 @@ class TimeseriesCollection:
         self, name: str, timeseries: GridTimeseries,
         variable_type: VariableType = VariableType.Exogenous,
     ):
-        self._add(name, timeseries, variable_type)
+        # store a copy: later mutation of the caller's object must not leak
+        # into the collection (reference clones on add) — same contract as
+        # the grid-specific adders above
+        self._add(name, timeseries.copy(), variable_type)
 
     def extend(self, other: "TimeseriesCollection"):
         for item in other._items:
-            self._add(item.name, item.data, item.variable_type)
+            # copies, like every other add path: mutating the source
+            # collection afterwards must not alias into this one
+            self._add(item.name, item.data.copy(), item.variable_type)
 
     # -- queries ------------------------------------------------------------
 
@@ -460,20 +478,29 @@ class TimeseriesCollection:
 
     # -- grid-checked setters (mirror of set_scalar/set_four_box/...) -------
 
-    def set_scalar(self, name: str, index: int, value: float):
+    def _get_data_or_raise(self, name: str) -> GridTimeseries:
         data = self.get_data(name)
+        if data is None:
+            raise KeyError(
+                f"timeseries {name!r} not found in collection; "
+                f"known: {self.names()}"
+            )
+        return data
+
+    def set_scalar(self, name: str, index: int, value: float):
+        data = self._get_data_or_raise(name)
         if data.grid.size() != 1:
             raise GridOutputMismatchError(name, "Scalar", data.grid.grid_name())
         data.set_index(index, 0, value)
 
     def set_four_box(self, name: str, index: int, values):
-        data = self.get_data(name)
+        data = self._get_data_or_raise(name)
         if data.grid.size() != 4:
             raise GridOutputMismatchError(name, "FourBox", data.grid.grid_name())
         data.set_from_slice(index, values)
 
     def set_hemispheric(self, name: str, index: int, values):
-        data = self.get_data(name)
+        data = self._get_data_or_raise(name)
         if data.grid.size() != 2:
             raise GridOutputMismatchError(name, "Hemispheric", data.grid.grid_name())
         data.set_from_slice(index, values)

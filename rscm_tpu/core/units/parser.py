@@ -6,6 +6,16 @@ notations — exponents ``m^2`` / ``m**2`` / ``m2``, division ``W/m^2`` /
 ``W m^-2`` / ``W per m^2``, multiplication ``kg m`` / ``kg*m`` — and
 normalises to a canonical ``num / den`` string keyed by a sorted component
 map.
+
+Deliberate reference-parity behaviours (upstream's parser does the same;
+the compat contract pins them): ``parse`` stops at the first character no
+rule consumes without requiring end-of-input (``parser.rs:98-113`` calls
+``parse_expression`` with no trailing check), and a whitespace-separated
+bare digit is an exponent (``parse_optional_exponent`` skips whitespace
+first, ``parser.rs:396-397`` — the grammar's ``('^'|'**')?`` marker is
+optional).  Alias resolution happens at registry lookup, not parse time,
+so ``Unit("year") != Unit("yr")`` even though their conversion factor is
+exactly 1 (``parser.rs`` components vs ``registry.rs`` aliases).
 """
 
 from __future__ import annotations

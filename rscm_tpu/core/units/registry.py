@@ -3,6 +3,18 @@ Unit registry: base/derived units, SI prefixes, climate-specific units.
 
 Mirror of ``crates/rscm-core/src/units/registry.rs:64-346`` including the
 CO2/C 44:12 mass ratio and ppm/ppb/ppt pseudo-dimensionless units.
+
+Deliberate reference-parity behaviours (do not "fix" — the upstream
+registry behaves identically and the compat contract pins them):
+
+- CO2-family units store *carbon-equivalent* SI factors under the shared
+  MASS dimension (``registry.rs:348-361``): ``GtCO2 -> Gt`` converts by
+  12/44 by design — all carbon-cycle bookkeeping is in GtC.
+- ``degC`` is a multiplicative alias of K for temperature *differences*
+  (``registry.rs:395-397``, mod.rs:66); there is no affine 273.15 offset.
+- Prefixed lookup falls through to single-letter aliases exactly like
+  ``registry.rs:216-245``: ``"Pa"`` resolves as peta-annum, not pascal
+  (pascal is not a registered unit upstream either).
 """
 
 from __future__ import annotations

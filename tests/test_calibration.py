@@ -334,6 +334,19 @@ class TestEnsembleSampler:
         )  # n_iterations is the TOTAL target (reference semantics)
         assert len(chain2) == 15  # resumed chain includes prior samples
 
+        # checkpoints written during a resumed run must record ABSOLUTE
+        # progress: a second resume to an already-reached total is a no-op
+        # (the within-run counter used to be saved, so this re-ran 10
+        # iterations and returned a 25-sample chain of duplicated draws)
+        from rscm_tpu.calibrate.sampler import SamplerState
+
+        assert SamplerState.load_checkpoint(path + ".state").iteration == 15
+        chain3 = sampler.resume_from_checkpoint(
+            n_iterations=15, thin=1, checkpoint_every=5, checkpoint_path=path,
+            seed=13,
+        )
+        assert len(chain3) == 15
+
     def test_odd_walkers_rejected_on_every_entry_point(
         self, compiled_runner, tmp_path
     ):

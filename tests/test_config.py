@@ -183,3 +183,95 @@ class TestBuildModel:
             v["variable_name"] == "Effective Radiative Forcing"
             for v in meta["TwoLayer"]["inputs"]
         )
+
+
+class TestInputResolution:
+    """Input-spec routing: typed dataclasses, required enforcement,
+    per-layer base-dir resolution, schema-version gating at load."""
+
+    def _write_csv(self, path, name="Effective Radiative Forcing"):
+        path.write_text(
+            f"time,{name}\n2000,1.0\n2001,2.0\n2002,3.0\n"
+        )
+
+    def _toml(self, tmp_path, fname, body):
+        p = tmp_path / fname
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(body)
+        return p
+
+    def test_typed_config_with_inputspec_builds(self, tmp_path):
+        from rscm_tpu.config.models.two_layer import TwoLayerConfig
+
+        self._write_csv(tmp_path / "erf.csv")
+        cfg = TwoLayerConfig(
+            name="t",
+            time=TimeConfig(start=2000, end=2002),
+            inputs={
+                "Effective Radiative Forcing": InputSpec(
+                    file=str(tmp_path / "erf.csv"), unit="W/m^2"
+                )
+            },
+        )
+        model = build_model(cfg)
+        model.run(compiled=False)
+        temps = model.collection.get_data("Surface Temperature").values()
+        assert np.all(np.isfinite(temps))
+
+    def test_required_inputspec_without_file_raises(self):
+        from rscm_tpu.config.models.two_layer import TwoLayerConfig
+
+        cfg = TwoLayerConfig(
+            name="t",
+            time=TimeConfig(start=2000, end=2002),
+            inputs={"Effective Radiative Forcing": InputSpec(required=True)},
+        )
+        with pytest.raises(ValueError, match="required but no file"):
+            build_model(cfg)
+
+    def test_optional_incomplete_inputspec_is_skipped(self):
+        from rscm_tpu.config.builder import _resolve_inputs
+
+        out = _resolve_inputs(
+            {"X": InputSpec(required=False)}, {"start": 2000, "end": 2002}, None
+        )
+        assert out == {}
+
+    def test_layered_file_inputs_resolve_against_their_own_layer(self, tmp_path):
+        # defaults layer declares the file (relative to ITS directory);
+        # the override layer lives elsewhere and only tweaks a parameter —
+        # a naive last-layer-wins _base_dir would look in the wrong place
+        self._write_csv(tmp_path / "data" / "erf.csv") if (
+            (tmp_path / "data").mkdir() or True
+        ) else None
+        defaults = self._toml(
+            tmp_path,
+            "defaults.toml",
+            '[model]\ntype = "two-layer"\n'
+            "[time]\nstart = 2000\nend = 2002\n"
+            "[components.climate.parameters]\n"
+            "lambda0 = 1.1\na = 0.0\nefficacy = 1.0\neta = 0.7\n"
+            "heat_capacity_surface = 8.0\nheat_capacity_deep = 100.0\n"
+            '[inputs."Effective Radiative Forcing"]\n'
+            'file = "data/erf.csv"\nunit = "W/m^2"\n',
+        )
+        override = self._toml(
+            tmp_path,
+            "tuning/high.toml",
+            "[components.climate.parameters]\nlambda0 = 1.5\n",
+        )
+        config = load_config_layers(defaults, override)
+        model = build_model(config)
+        model.run(compiled=False)
+        assert np.all(
+            np.isfinite(model.collection.get_data("Surface Temperature").values())
+        )
+
+    def test_incompatible_schema_version_rejected_at_load(self, tmp_path):
+        p = self._toml(
+            tmp_path,
+            "v2.toml",
+            '[schema]\nversion = "2.0.0"\n[model]\ntype = "two-layer"\n',
+        )
+        with pytest.raises(IncompatibleSchemaError):
+            load_config(p)

@@ -144,6 +144,70 @@ class TestModelRuntime:
             rtol=1e-12,
         )
 
+    def test_compiled_continuation_preserves_eager_history_bitwise(self):
+        """run(compiled=True) after eager float64 stepping must not
+        round-trip the already-committed rows through the float32 program
+        dtype — only rows the scan actually wrote are written back."""
+        years = np.arange(2000.0, 2020.0)
+        erf = np.linspace(0.1, 3.7, len(years))
+        model = build_two_layer_model(erf, years)
+        for _ in range(5):
+            model.step()
+        committed = {
+            name: np.array(model.collection.get_data(name)._values[:6])
+            for name in ["Surface Temperature", "Deep Ocean Temperature"]
+        }
+        model.run(compiled=True)
+        for name, before in committed.items():
+            after = np.asarray(model.collection.get_data(name)._values[:6])
+            np.testing.assert_array_equal(before, after, err_msg=name)
+
+    def test_uniform_dt_detected_on_monthly_axis(self):
+        """_uniform_dt must classify a uniform sub-annual axis from the
+        float64 axis source; the float32 program cast of 1/12 steps used
+        to fail the rtol=1e-12 check and silently disable every
+        scan-layout hook."""
+        from rscm_tpu.core.model.program import ModelProgram
+
+        years = np.arange(0.0, 10.0, 1.0 / 12.0)
+        erf = np.linspace(0.0, 3.0, len(years))
+        model = build_two_layer_model(erf, years)
+        # force the float32 program dtype (tests run x64 by default) —
+        # the misclassification came from diffing the f32-cast axis
+        program = ModelProgram(model, dtype=np.float32)
+        assert program.time_values.dtype == np.float32
+        assert program._uniform_dt is not None
+        assert program._uniform_dt == pytest.approx(1.0 / 12.0, rel=1e-9)
+
+    def test_streaming_from_final_index_does_not_crash(self):
+        """gather_endo_window at the last time index used to read one row
+        past the end; the n_run <= 0 short-circuit must be reachable."""
+        from rscm_tpu.core.model.program import ModelProgram
+
+        years = np.arange(2000.0, 2010.0)
+        erf = np.full(len(years), 3.7)
+        model = build_two_layer_model(erf, years)
+        model.run(compiled=False)
+        program = ModelProgram(model)
+        start = model.time_index
+        assert start == len(years) - 1
+        bufs = program.gather_endo_window(start)  # must not IndexError
+        trajs, _ = program.run_window_fn(
+            bufs,
+            program.gather_exo(),
+            program.gather_params(),
+            program.gather_internals(),
+            out_vars=("Surface Temperature",),
+            start_idx=start,
+        )
+        np.testing.assert_allclose(
+            np.asarray(trajs["Surface Temperature"]),
+            np.asarray(
+                model.collection.get_data("Surface Temperature")._values
+            ).astype(np.float32),
+            rtol=1e-6,
+        )
+
 
 class TestCoupledModel:
     """Two-layer + carbon cycle + CO2 ERF closed loop (coupled_models.rs)."""

@@ -227,3 +227,54 @@ class TestTypedComponentGridOutputs:
                 comp.collection.get_data(name).values(),
                 err_msg=name,
             )
+
+
+class TestTracedSliceSemantics:
+    def test_slice_eq_with_traced_values_returns_traced_bool(self):
+        """Comparing slices holding tracers must return a traced
+        conjunction, not raise TracerBoolConversionError through all()."""
+        import jax
+        import jax.numpy as jnp
+
+        from rscm_tpu.core.state import FourBoxSlice
+
+        def f(x):
+            a = FourBoxSlice(x, x + 1.0, x + 2.0, x + 3.0)
+            b = FourBoxSlice(x, x + 1.0, x + 2.0, x + 3.0)
+            c = FourBoxSlice(x, x + 1.0, x + 2.0, x + 99.0)
+            return jnp.stack(
+                [jnp.asarray(a == b), jnp.asarray(a == c)]
+            )
+
+        eq, neq = np.asarray(jax.jit(f)(jnp.float32(1.0)))
+        assert bool(eq) and not bool(neq)
+
+    def test_scalar_window_last_n_traced_marks_prehistory_nan(self):
+        """Traced last_n beyond the series start must NaN the invalid
+        leading rows (a silent dynamic_slice clamp returned *shifted*
+        data from the wrong time window); valid rows stay aligned."""
+        import jax
+        import jax.numpy as jnp
+
+        from rscm_tpu.core.spatial import GridType
+        from rscm_tpu.core.state import VariableSource, make_window
+
+        values = np.arange(10.0, dtype=np.float64)[:, None]
+        times = np.arange(2000.0, 2010.0)
+
+        def f(idx):
+            w = make_window(
+                GridType.Scalar,
+                jnp.asarray(values),
+                idx,
+                jnp.asarray(2000.0) + idx,
+                source=VariableSource.Exogenous,
+                time_values=jnp.asarray(times),
+            )
+            return w.last_n(4)
+
+        ok = np.asarray(jax.jit(f)(jnp.int32(5)))
+        np.testing.assert_allclose(ok, [2.0, 3.0, 4.0, 5.0])
+        short = np.asarray(jax.jit(f)(jnp.int32(1)))
+        assert np.isnan(short[:2]).all()  # rows before the series start
+        np.testing.assert_allclose(short[2:], [0.0, 1.0])

@@ -83,6 +83,63 @@ class TestStreamingParity:
             streamed = runner.run(params=params, out_vars=list(full), stream=True)
             _assert_trajectories_equal(full, streamed)
 
+    def test_prefilled_unwritten_variable_matches_full_mode(self):
+        """A component may legally omit an output write (the reference
+        iterates only the returned outputs, runtime.rs:452), in which case
+        the full mode preserves the collection's stored rows.  The
+        streaming roll must supply the same stored rows — it used to roll
+        in NaN, diverging for any pre-populated endogenous variable."""
+        from rscm_tpu.core.component import Component, Input, Output
+        from rscm_tpu.core.model.program import ModelProgram
+
+        class PartialWriter(Component):
+            drive = Input("Drive", unit="K")
+            main = Output("Main", unit="K")
+            extra = Output("Extra", unit="K")  # declared, never written
+
+            def solve_ctx(self, ctx, inputs, internal_state):
+                return {"Main": inputs.drive.get() * 2.0}, internal_state
+
+        class Reader(Component):
+            extra = Input("Extra", unit="K")
+            echo = Output("Echo", unit="K")
+
+            def solve_ctx(self, ctx, inputs, internal_state):
+                return {"Echo": inputs.extra.get() + 1.0}, internal_state
+
+        years = np.arange(2000.0, 2012.0)
+        model = (
+            ModelBuilder()
+            .with_time_axis(TimeAxis.from_values(years))
+            .with_component(PartialWriter())
+            .with_component(Reader())
+            .with_exogenous_variable(
+                "Drive", Timeseries.from_values(np.linspace(0.0, 2.0, 12), years)
+            )
+            .build()
+        )
+        # pre-populate the never-written variable (a restored checkpoint /
+        # previously-run collection leaves exactly this shape of state)
+        model.collection.get_data("Extra")._values[:, 0] = np.linspace(
+            5.0, 7.0, len(years)
+        )
+
+        program = ModelProgram(model)
+        args = (
+            program.gather_exo(),
+            program.gather_params(),
+            program.gather_internals(),
+        )
+        full, _ = program.run_fn(program.gather_endo(), *args)
+        out_vars = ("Main", "Extra", "Echo")
+        streamed, _ = program.run_window_fn(
+            program.gather_endo_window(0), *args, out_vars=out_vars
+        )
+        for name in out_vars:
+            np.testing.assert_array_equal(
+                np.asarray(full[name]), np.asarray(streamed[name]), err_msg=name
+            )
+
     def test_carry_shape_is_lookback_not_n_steps(self):
         program = EnsembleRunner(_flagship(n_years=200)).program
         bufs = program.gather_endo_window()

@@ -301,3 +301,56 @@ class TestTimeseriesCollection:
             coll.set_scalar("T", 0, 1.0)
         coll.set_four_box("T", 0, [1.0, 2.0, 3.0, 4.0])
         assert coll.get_fourbox_timeseries_by_name("T").at_time_index(0) == [1.0, 2.0, 3.0, 4.0]
+
+
+class TestCollectionContracts:
+    """Clone-on-add, serialisation fidelity, and actionable errors."""
+
+    def _scalar_ts(self):
+        return Timeseries.from_values(
+            np.array([1.0, 2.0, 3.0]), np.array([2000.0, 2001.0, 2002.0])
+        )
+
+    def test_add_grid_timeseries_clones(self):
+        coll = TimeseriesCollection()
+        ts = self._scalar_ts()
+        coll.add_grid_timeseries("X", ts)
+        ts.set_index(0, 0, 999.0)  # caller mutation must not leak in
+        assert coll.get_data("X").at_index(0, 0) == 1.0
+
+    def test_extend_clones(self):
+        src = TimeseriesCollection()
+        src.add_timeseries("X", self._scalar_ts())
+        dst = TimeseriesCollection()
+        dst.extend(src)
+        src.get_data("X").set_index(0, 0, 999.0)
+        assert dst.get_data("X").at_index(0, 0) == 1.0
+
+    def test_latest_round_trips_through_dict(self):
+        ta = TimeAxis.from_values(np.array([2000.0, 2001.0, 2002.0]))
+        ts = GridTimeseries.new_empty(ta, ScalarGrid(), "K")
+        ts.set_index(2, 0, 1.0)
+        ts.set_index(2, 0, float("nan"))  # latest stays 2 (reference parity)
+        assert ts.latest == 2
+        assert GridTimeseries.from_dict(ts.to_dict()).latest == 2
+
+    def test_setters_raise_keyerror_for_unknown_name(self):
+        coll = TimeseriesCollection()
+        with pytest.raises(KeyError, match="'nope' not found"):
+            coll.set_scalar("nope", 0, 1.0)
+
+    def test_grid_weights_immune_to_caller_mutation(self):
+        w = np.array([0.3, 0.3, 0.2, 0.2])
+        g = FourBoxGrid(w)
+        w[0] = 0.9
+        np.testing.assert_array_equal(g.weights, [0.3, 0.3, 0.2, 0.2])
+
+    def test_weighted_aggregate_without_weights_is_schema_error(self):
+        from rscm_tpu.core.errors import SchemaValidationError
+        from rscm_tpu.core.schema import AggregateOp, VariableSchema
+
+        schema = VariableSchema()
+        schema.add_variable("A", "K")
+        schema.add_aggregate("Agg", "K", AggregateOp("Weighted"), ["A"])
+        with pytest.raises(SchemaValidationError, match="requires weights"):
+            schema.validate()
