@@ -34,23 +34,45 @@ def _dispatch(name):
     return fn
 
 
-exp = _dispatch("exp")
-log = _dispatch("log")
-log2 = _dispatch("log2")
-log10 = _dispatch("log10")
-log1p = _dispatch("log1p")
-expm1 = _dispatch("expm1")
+def _dispatch_accurate(name):
+    """Traced path routes through :mod:`rscm_tpu.ops.accurate_math`.
+
+    XLA's TPU lowerings of the log/exp op families carry 1e-4-class
+    float32 error (measured on v5e; see accurate_math's table) — enough
+    to dominate the physics' dtype-drift budget.  The accurate ops are
+    minimax-polynomial VPU kernels dispatched per lowering platform
+    (``lax.platform_dependent``): non-TPU backends and float64 inputs
+    keep the native op, so CPU-compiled and x64 numerics are unchanged.
+    """
+
+    def fn(*args, **kwargs):
+        if _is_traced(*args):
+            from rscm_tpu.ops import accurate_math
+
+            return getattr(accurate_math, "accurate_" + name)(*args, **kwargs)
+        return getattr(np, name)(*args, **kwargs)
+
+    fn.__name__ = name
+    return fn
+
+
+exp = _dispatch_accurate("exp")
+log = _dispatch_accurate("log")
+log2 = _dispatch_accurate("log2")
+log10 = _dispatch_accurate("log10")
+log1p = _dispatch_accurate("log1p")
+expm1 = _dispatch_accurate("expm1")
 sqrt = _dispatch("sqrt")
-power = _dispatch("power")
+power = _dispatch_accurate("power")
 abs = _dispatch("abs")  # noqa: A001
 sign = _dispatch("sign")
 maximum = _dispatch("maximum")
 minimum = _dispatch("minimum")
 clip = _dispatch("clip")
 where = _dispatch("where")
-tanh = _dispatch("tanh")
-sinh = _dispatch("sinh")
-cosh = _dispatch("cosh")
+tanh = _dispatch_accurate("tanh")
+sinh = _dispatch_accurate("sinh")
+cosh = _dispatch_accurate("cosh")
 sin = _dispatch("sin")
 cos = _dispatch("cos")
 arctan = _dispatch("arctan")
