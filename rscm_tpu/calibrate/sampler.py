@@ -498,7 +498,7 @@ class EnsembleSampler:
             n_accepted = jax.lax.dynamic_update_slice_in_dim(
                 n_accepted,
                 jax.lax.dynamic_slice_in_dim(n_accepted, active_slice, half, 0)
-                + accept.astype(jnp.int64),
+                + accept.astype(n_accepted.dtype),
                 active_slice,
                 0,
             )
