@@ -507,23 +507,41 @@ class NUTSSampler:
                     f"device count ({int(mesh.devices.size)}), got {n_chains}"
                 )
             axis = mesh.axis_names[0]
-            jit_kwargs = dict(
+            s_c = NamedSharding(mesh, P(axis))          # (chains,)
+            s_cd = NamedSharding(mesh, P(axis, None))   # (chains, D)
+            # carry layout (see init_carry): leaves are (C, D) or (C,)
+            carry_shardings = (
+                s_cd, s_c, s_cd, s_c, s_c, s_c, s_c, s_c,
+                s_cd, s_c, s_cd, s_cd, s_c, s_c,
+            )
+            # pin the carry's sharding on both ends so it round-trips the
+            # chunk loop without resharding (constants made inside
+            # init_carry would otherwise come out replicated and fail
+            # run_chunk's in_shardings check)
+            init_jit_kwargs = dict(
+                in_shardings=(s_cd,), out_shardings=carry_shardings
+            )
+            chunk_jit_kwargs = dict(
                 in_shardings=(
-                    NamedSharding(mesh, P(axis, None)),        # x0 (chains, D)
+                    carry_shardings,
+                    NamedSharding(mesh, P()),              # iters
                     NamedSharding(mesh, P(None, axis, None)),  # keys
-                )
+                ),
+                out_shardings=(
+                    carry_shardings,
+                    NamedSharding(mesh, P(None, axis, None)),  # thetas
+                    NamedSharding(mesh, P(None, axis)),        # logps
+                ),
             )
         else:
-            jit_kwargs = {}
+            init_jit_kwargs = {}
+            chunk_jit_kwargs = {}
 
-        @functools.partial(jax.jit, **jit_kwargs)
-        def run_all(x0, keys):
-            def scan_body(carry, x):
-                return vmapped(carry, x)
-
+        @functools.partial(jax.jit, **init_jit_kwargs)
+        def init_carry(x0):
             logp0, grad0 = jax.vmap(jax.value_and_grad(logp_x))(x0)
             grad0 = jnp.where(jnp.isfinite(grad0), grad0, 0.0)
-            carry0 = (
+            return (
                 x0, logp0, grad0,
                 jnp.full((n_chains,), jnp.log(step_size)),
                 jnp.full((n_chains,), jnp.log(step_size)),
@@ -537,13 +555,28 @@ class NUTSSampler:
                 jnp.zeros(n_chains, jnp.int32),
                 jnp.zeros(n_chains, jnp.int32),
             )
-            iters = jnp.arange(total_iters)
-            carry, (xs, logps_x) = jax.lax.scan(
-                scan_body, carry0, (iters, keys)
-            )
+
+        @functools.partial(jax.jit, **chunk_jit_kwargs)
+        def run_chunk(carry, iters, keys):
+            carry, (xs, logps_x) = jax.lax.scan(vmapped, carry, (iters, keys))
             # back to theta-space; recorded log probs exclude the Jacobian
             thetas, logjs = jax.vmap(jax.vmap(to_theta))(xs)
             return carry, thetas, logps_x - logjs
+
+        # XLA's TPU pipeliner mis-assigns memory spaces when a scan whose
+        # body holds the NUTS tree-doubling while-loops keeps its backend
+        # loop form: trip counts > 64 abort compilation with
+        # "Check failed: memory_space == existing_required_assignment->
+        # memory_space" (current libtpu; trip counts <= 64 take the
+        # unrolled/double-buffered path and compile fine).  Chunk the
+        # iteration scan at <= 64 trips per executable and thread the
+        # carry through at the Python level — the op sequence, RNG streams
+        # and warmup schedule (absolute iteration indices) are identical,
+        # and balancing the chunk lengths keeps it to one compile for the
+        # common sizes.
+        max_chunk = 64
+        n_chunks = -(-total_iters // max_chunk)
+        chunk_len = -(-total_iters // n_chunks)
 
         with dev_ctx():
             keys = jr.split(
@@ -554,10 +587,18 @@ class NUTSSampler:
         # tracing happens inside this first call: resolve engine choices
         # against the mesh's platform, not the default backend
         with dev_ctx():
-            carry, qs, logps = run_all(init_x_dev, keys)
+            carry = init_carry(init_x_dev)
+            q_parts, lp_parts = [], []
+            for start in range(0, total_iters, chunk_len):
+                end = min(start + chunk_len, total_iters)
+                carry, th, lp = run_chunk(
+                    carry, jnp.arange(start, end), keys[start:end]
+                )
+                q_parts.append(th)
+                lp_parts.append(lp)
 
-        qs = np.asarray(qs[warmup:])          # (n_iterations, n_chains, D)
-        logps = np.asarray(logps[warmup:])
+        qs = np.concatenate([np.asarray(p) for p in q_parts])[warmup:]
+        logps = np.concatenate([np.asarray(p) for p in lp_parts])[warmup:]
         self.last_diagnostics = {
             "n_model_evals": int(np.sum(np.asarray(carry[12]))),
             "n_divergences": int(np.sum(np.asarray(carry[13]))),
