@@ -508,8 +508,8 @@ def bench_calibration_at_scale(extra):
     sampler = EnsembleSampler(params, runner, GaussianLikelihood(), target)
 
     n_iterations, n_walkers = 200, 1024
-    sampler.run(  # warm-up: trace + compile
-        n_iterations=2, init=WalkerInit.from_prior(), thin=1,
+    sampler.run(  # warm-up: trace + compile at the exact steady-state shapes
+        n_iterations=n_iterations, init=WalkerInit.from_prior(), thin=1,
         n_walkers=n_walkers, seed=7, engine="device",
     )
     t0 = time.perf_counter()
