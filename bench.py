@@ -45,8 +45,23 @@ import numpy as np
 
 # Persistent XLA compilation cache: compiles through the remote-TPU tunnel
 # are slow (minutes); the cache makes repeat bench runs start in seconds.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# This jax build ignores the JAX_COMPILATION_CACHE_DIR env var, so the
+# config must be applied through jax.config (done lazily in _enable_cache
+# because importing jax at module import would break the --smoke CPU path's
+# platform selection ordering).
+
+
+def _enable_cache():
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(__file__), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # never let cache plumbing kill a bench run
 
 N_REPS = 20
 
@@ -634,6 +649,7 @@ def smoke():
 def main():
     import jax
 
+    _enable_cache()
     extra = {
         "device": str(jax.devices()[0]),
         "n_reps": N_REPS,

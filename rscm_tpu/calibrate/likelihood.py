@@ -130,7 +130,13 @@ class GaussianLikelihood(LikelihoodFn):
         total = 0.0
         for name, spec in compiled.per_variable.items():
             traj = trajectories[name]
-            series = traj[:, 0] if traj.ndim == 2 else traj
+            weights = spec.get("grid_weights")
+            if weights is not None and traj.ndim == 2 and traj.shape[1] > 1:
+                # grid variable: compare the area-weighted global aggregate
+                # (SpatialGrid.aggregate_global semantics)
+                series = traj @ jnp.asarray(weights, dtype=traj.dtype)
+            else:
+                series = traj[:, 0] if traj.ndim == 2 else traj
             model_vals = series[spec["indices"]]
             if spec["reference_indices"] is not None:
                 model_vals = model_vals - jnp.mean(series[spec["reference_indices"]])

@@ -130,12 +130,20 @@ class CompiledModelRunner(ModelRunner):
         param_map: Dict[str, object],
         output_variables: List[str],
         dtype=None,
+        stream: bool = True,
     ):
         from rscm_tpu.core.model.program import ModelProgram
 
         self.model = model
         self.program = ModelProgram(model, dtype=dtype)
         self.output_variables = list(output_variables)
+        # streaming (windowed-carry) program by default: the scan carry is
+        # O(lookback) per variable instead of O(n_steps), which is what
+        # keeps big-model posteriors (full MAGICC x 1024 walkers, and their
+        # reverse-mode gradients) inside HBM.  Values are bitwise-equal to
+        # the full mode (tests/test_fuzz_graphs.py); pass stream=False to
+        # force the full-trajectory program.
+        self.stream = bool(stream)
         self._param_names = list(param_map)
         # normalise: name -> list of "Component.param"
         self.param_map = {
@@ -193,19 +201,45 @@ class CompiledModelRunner(ModelRunner):
     def trajectories_fn(self):
         """Pure fn: theta (D,) -> {var: (n_steps, g)} — jit/vmap/grad-able."""
         p = self.program
-        endo = p.gather_endo()
         exo = p.gather_exo()
         internals = p.gather_internals()
         out_vars = self.output_variables
 
-        def fn(theta):
-            params = self.params_pytree(theta)
-            endo_out, _ = p.run_fn(endo, exo, params, internals)
-            return {name: endo_out[name] for name in out_vars}
+        if self.stream:
+            endo_bufs = p.gather_endo_window()
+
+            def fn(theta):
+                params = self.params_pytree(theta)
+                trajs, _ = p.run_window_fn(
+                    endo_bufs, exo, params, internals, out_vars
+                )
+                return trajs
+
+        else:
+            endo = p.gather_endo()
+
+            def fn(theta):
+                params = self.params_pytree(theta)
+                endo_out, _ = p.run_fn(endo, exo, params, internals)
+                return {name: endo_out[name] for name in out_vars}
 
         return fn
 
     # -- ModelRunner protocol (host API parity) --------------------------------
+
+    def _series(self, name: str, traj) -> np.ndarray:
+        """(n_steps,) scalar series from a trajectory.
+
+        Multi-region (grid) variables reduce to the area-weighted global
+        aggregate — the same ``aggregate_global`` semantics the traced
+        likelihood applies (the reference's DefaultModelRunner rejects grid
+        variables outright; this runner supports them globally-aggregated).
+        """
+        arr = np.asarray(traj)
+        if arr.ndim == 2 and arr.shape[1] > 1:
+            data = self.model.collection.get_data(name)
+            return arr @ np.asarray(data.grid.weights, dtype=arr.dtype)
+        return arr[:, 0] if arr.ndim == 2 else arr
 
     def run(self, params) -> ModelOutput:
         import jax
@@ -218,7 +252,7 @@ class CompiledModelRunner(ModelRunner):
         times = self.model.time_axis.values()
         for name in self.output_variables:
             var_output = VariableOutput(name)
-            series = np.asarray(trajectories[name])[:, 0]
+            series = self._series(name, trajectories[name])
             for t, v in zip(times, series):
                 if not np.isnan(v):
                     var_output.add(float(t), float(v))
@@ -241,7 +275,7 @@ class CompiledModelRunner(ModelRunner):
             output = ModelOutput()
             for name in self.output_variables:
                 var_output = VariableOutput(name)
-                series = np.asarray(batched[name][i])[:, 0]
+                series = self._series(name, batched[name][i])
                 for t, v in zip(times, series):
                     if not np.isnan(v):
                         var_output.add(float(t), float(v))

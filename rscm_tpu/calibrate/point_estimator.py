@@ -132,7 +132,9 @@ class PointEstimator:
             return None
         if not isinstance(self.likelihood, GaussianLikelihood):
             return None
-        compiled_target = self.target.compile(self.runner.model.time_axis)
+        compiled_target = self.target.compile(
+            self.runner.model.time_axis, self.runner.model.collection
+        )
         traj_fn = self.runner.trajectories_fn()
         likelihood = self.likelihood
         params = self.params

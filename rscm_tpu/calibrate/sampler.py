@@ -219,7 +219,9 @@ class EnsembleSampler:
             return None
         import jax.numpy as jnp
 
-        compiled_target = self.target.compile(self.runner.model.time_axis)
+        compiled_target = self.target.compile(
+            self.runner.model.time_axis, self.runner.model.collection
+        )
         traj_fn = self.runner.trajectories_fn()
         likelihood = self.likelihood
         params = self.params

@@ -97,8 +97,17 @@ class Target:
     def total_observations(self) -> int:
         return sum(len(v.observations) for v in self.variables.values())
 
-    def compile(self, time_axis) -> "CompiledTarget":
-        return CompiledTarget(self, time_axis)
+    def compile(self, time_axis, collection=None) -> "CompiledTarget":
+        """Lower onto a model time axis (and optionally its collection).
+
+        ``collection`` supplies each variable's spatial grid: targets on
+        grid variables (e.g. the FourBox ``Surface Temperature``) compare
+        observations against the **area-weighted global aggregate** of the
+        trajectory — the same reduction as ``SpatialGrid.aggregate_global``.
+        Without a collection, grid trajectories fall back to region 0
+        (the historical scalar behaviour).
+        """
+        return CompiledTarget(self, time_axis, collection)
 
     def __repr__(self):
         return f"Target({list(self.variables)})"
@@ -109,15 +118,25 @@ class CompiledTarget:
 
     Per variable: observation time-axis indices (nearest-match within
     1e-6), values, 1/sigma^2 weights, and an optional reference-period
-    index mask for anomaly targets.
+    index mask for anomaly targets.  When a ``collection`` is given and
+    the variable lives on a multi-region grid, ``grid_weights`` holds the
+    grid's area weights so the traced likelihood compares the global
+    aggregate (``aggregate_global`` semantics).
     """
 
-    def __init__(self, target: Target, time_axis):
+    def __init__(self, target: Target, time_axis, collection=None):
         self.target = target
         self.time_axis = time_axis
         values = np.asarray(time_axis.values())
         self.per_variable = {}
         for name, vt in target.variables.items():
+            grid_weights = None
+            if collection is not None:
+                data = collection.get_data(name)
+                if data is not None and data.grid.size() > 1:
+                    grid_weights = np.asarray(
+                        data.grid.weights, dtype=np.float64
+                    )
             idxs, obs_vals, sigmas = [], [], []
             for obs in vt.observations:
                 matches = np.nonzero(np.abs(values - obs.time) < 1e-6)[0]
@@ -143,4 +162,5 @@ class CompiledTarget:
                 "values": np.asarray(obs_vals),
                 "sigmas": np.asarray(sigmas),
                 "reference_indices": ref_idx,
+                "grid_weights": grid_weights,
             }

@@ -10,6 +10,8 @@ import os
 # Must be set before jax is imported anywhere.  The harness presets
 # JAX_PLATFORMS=axon (real TPU); tests run on a virtual 8-device CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# (Persistent-compilation-cache config is applied after the jax import
+# below — this jax build ignores the JAX_COMPILATION_CACHE_DIR env var.)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -22,6 +24,17 @@ import jax  # noqa: E402
 # the env var alone is not enough.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the suite compiles hundreds of XLA
+# programs (every model shape x mode); caching them across runs cuts
+# repeat suite time by minutes.  Must go through jax.config.update — this
+# jax build does not read the JAX_COMPILATION_CACHE_DIR env var.  The
+# directory is separate from the TPU bench cache (.jax_cache) so the two
+# backends never share entries.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
