@@ -149,7 +149,8 @@ def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
                        include_permafrost: bool = False,
                        permafrost_params: dict = None,
                        include_slr: bool = False,
-                       slr_params: dict = None):
+                       slr_params: dict = None,
+                       chemistry_pathways: dict = None):
     """Build the ten-component emissions-driven MAGICC-style model.
 
     The ocean-carbon flux-history window is sized to the run length
@@ -168,6 +169,18 @@ def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
     (module_14): :class:`SeaLevelRise` diagnoses all seven contributors
     from the climate state each year (no feedback into the rest of the
     graph, matching MAGICC7's end-of-step ``sealevel_calc``).
+
+    ``chemistry_pathways`` auto-selects the accurate MAGICC7-mode CH4/N2O
+    schemes whenever their inputs exist: pass observed concentration
+    records on the model time axis (``{"ch4": (n,), "n2o": (n,),
+    "temperature": (n,) optional}``) and the CH4/N2O components are built
+    via :meth:`CH4Chemistry.magicc7` / :meth:`N2OChemistry.magicc7`
+    (budget-closure natural emissions, feedback reference year, wetland
+    feedback, concentration prescription until the switch year) — the
+    scheme that cuts SSP245 golden divergence from ~16%/~7% to ~2%/<1%
+    (tests/regression/test_emissions_driven.py).  Without pathways the
+    components use the reference-layout scheme (the reference itself has
+    no pathway-derived mode to select).
     """
     from rscm_tpu.magicc import (
         AerosolDirect,
@@ -195,6 +208,28 @@ def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
     ch4_cls = CH4ChemistryWithPermafrost if include_permafrost else CH4Chemistry
     budget_cls = CO2BudgetWithPermafrost if include_permafrost else CO2Budget
 
+    if chemistry_pathways is not None:
+        cp = chemistry_pathways
+        ch4_component = ch4_cls.magicc7(
+            years,
+            cp["ch4"],
+            emissions["Emissions|CH4"][0],
+            emissions["Emissions|NOx"][0],
+            emissions["Emissions|CO"][0],
+            emissions["Emissions|NMVOC"][0],
+            temperatures=cp.get("temperature"),
+        )
+        n2o_component = N2OChemistry.magicc7(
+            years, cp["n2o"], emissions["Emissions|N2O"][0]
+        )
+    else:
+        ch4_component = ch4_cls(
+            ch4_pi=INITIAL_VALUES["Atmospheric Concentration|CH4"]
+        )
+        n2o_component = N2OChemistry(
+            n2o_pi=INITIAL_VALUES["Atmospheric Concentration|N2O"]
+        )
+
     time_axis = TimeAxis.from_values(years)
     builder = (
         ModelBuilder()
@@ -212,12 +247,8 @@ def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
         builder = builder.with_component(Permafrost(**(permafrost_params or {})))
     builder = (
         builder
-        .with_component(
-            ch4_cls(ch4_pi=INITIAL_VALUES["Atmospheric Concentration|CH4"])
-        )
-        .with_component(
-            N2OChemistry(n2o_pi=INITIAL_VALUES["Atmospheric Concentration|N2O"])
-        )
+        .with_component(ch4_component)
+        .with_component(n2o_component)
         .with_component(
             GhgForcing(
                 method="Ipcctar",
@@ -261,4 +292,13 @@ def build_magicc_model(years=None, ecs: float = 3.0, emissions: dict = None,
             name,
             Timeseries(np.asarray(values)[:, None], time_axis, ScalarGrid(), unit),
         )
-    return builder.with_initial_values(INITIAL_VALUES).build()
+    initial_values = dict(INITIAL_VALUES)
+    if chemistry_pathways is not None:
+        # start the prescribed species on their observed records
+        initial_values["Atmospheric Concentration|CH4"] = float(
+            np.asarray(chemistry_pathways["ch4"])[0]
+        )
+        initial_values["Atmospheric Concentration|N2O"] = float(
+            np.asarray(chemistry_pathways["n2o"])[0]
+        )
+    return builder.with_initial_values(initial_values).build()
