@@ -184,6 +184,52 @@ class EnsembleRunner:
         except Exception:
             return out
 
+    # -- attribution -----------------------------------------------------------
+
+    def cost_analysis(
+        self,
+        params: dict,
+        exo: Optional[dict] = None,
+        out_vars: Optional[list] = None,
+        start_idx: int = 0,
+        stream: Optional[bool] = None,
+    ) -> Optional[dict]:
+        """XLA cost analysis (flops, bytes accessed) of the exact ensemble
+        program :meth:`run` executes for these arguments.
+
+        Lower-and-compile goes through the persistent compilation cache, so
+        calling this after :meth:`run` costs no second real compile.  Used
+        by bench.py's roofline attribution (achieved HBM-bandwidth fraction
+        per config).
+        """
+        import jax
+
+        p = self.program
+        if stream is None:
+            stream = out_vars is not None
+        stream_out = (
+            tuple(out_vars if out_vars is not None else p.endo_names)
+            if stream
+            else None
+        )
+        endo = p.gather_endo_window(start_idx) if stream else p.gather_endo()
+        exo_arg = dict(p.gather_exo())
+        if exo:
+            exo_arg.update(exo)
+        internals = p.gather_internals()
+        param_axes = jax.tree.map(
+            lambda v: 0 if np.ndim(v) >= 1 else None, params
+        )
+        exo_axes = jax.tree.map(
+            lambda v: 0 if np.ndim(v) >= 3 else None, exo_arg
+        )
+        fn = self._build_fn(exo_axes, start_idx, stream_out, param_axes)
+        compiled = jax.jit(fn).lower(endo, exo_arg, params, internals).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0] if analysis else None
+        return analysis
+
     # -- execution -----------------------------------------------------------
 
     def _build_fn(self, exo_axes, start_idx: int, stream_out, param_axes):
