@@ -200,13 +200,25 @@ class RandomSearch(Optimizer):
 
 
 class AdamOptimizer(Optimizer):
-    """Gradient ascent through the compiled model (optax Adam)."""
+    """Gradient ascent through the compiled model (optax Adam).
+
+    The whole optimisation is ONE ``lax.scan`` compiled on device (a
+    Python step loop pays a dispatch round-trip per step — fatal through
+    a remote-TPU tunnel).  Gradients use batched forward mode for small
+    parameter vectors (D JVPs ride the model's forward scan with no
+    residual traffic; same engine as NUTS ``grad_mode='fwd'``) and
+    reverse mode above ``fwd_threshold``.  Iterates are clipped to the
+    prior bounds so the line search cannot leave the support (-inf walls
+    make gradients vanish).
+    """
 
     def __init__(self, learning_rate: float = 0.05, n_steps: int = 200,
-                 kind: EstimateKind = EstimateKind.MAP):
+                 kind: EstimateKind = EstimateKind.MAP,
+                 fwd_threshold: int = 32):
         self.learning_rate = learning_rate
         self.n_steps = n_steps
         self.kind = kind
+        self.fwd_threshold = int(fwd_threshold)
 
     def optimize(self, estimator: PointEstimator, x0=None) -> PointEstimate:
         import jax
@@ -217,30 +229,70 @@ class AdamOptimizer(Optimizer):
         if objective is None:
             raise ValueError("Gradient optimisation requires a CompiledModelRunner")
 
+        lower, upper = estimator.bounds()
+        lower = np.asarray(lower, dtype=np.float64)
+        upper = np.asarray(upper, dtype=np.float64)
         if x0 is None:
-            lower, upper = estimator.bounds()
             x0 = [
                 (lo + hi) / 2.0 if np.isfinite(lo) and np.isfinite(hi) else 0.0
                 for lo, hi in zip(lower, upper)
             ]
-        theta = jnp.asarray(x0, dtype=estimator.runner.program.dtype)
+        dtype = estimator.runner.program.dtype
+        theta0 = jnp.asarray(x0, dtype=dtype)
+        D = theta0.shape[0]
+        # clip just inside the support: the prior is -inf outside, and ON
+        # a bound a one-sided density can still be degenerate
+        span = np.where(np.isfinite(upper - lower), upper - lower, 1.0)
+        lo_clip = jnp.asarray(
+            np.where(np.isfinite(lower), lower + 1e-9 * span, -np.inf),
+            dtype=dtype,
+        )
+        hi_clip = jnp.asarray(
+            np.where(np.isfinite(upper), upper - 1e-9 * span, np.inf),
+            dtype=dtype,
+        )
+
+        if D <= self.fwd_threshold:
+            basis = jnp.eye(D, dtype=dtype)
+
+            def value_and_grad(q):
+                vals, tangents = jax.vmap(
+                    lambda e: jax.jvp(objective, (q,), (e,))
+                )(basis)
+                return vals[0], tangents
+
+        else:
+            value_and_grad = jax.value_and_grad(objective)
 
         opt = optax.adam(self.learning_rate)
-        opt_state = opt.init(theta)
-        value_and_grad = jax.value_and_grad(objective)
 
         @jax.jit
-        def step(theta, opt_state):
-            value, grads = value_and_grad(theta)
-            updates, opt_state = opt.update(grads, opt_state)
-            return optax.apply_updates(theta, updates), opt_state, value
+        def run(theta):
+            def body(carry, _):
+                theta, opt_state, best_theta, best_value = carry
+                value, grads = value_and_grad(theta)
+                grads = jnp.where(jnp.isfinite(grads), grads, 0.0)
+                better = value < best_value
+                best_theta = jnp.where(better, theta, best_theta)
+                best_value = jnp.where(better, value, best_value)
+                updates, opt_state = opt.update(grads, opt_state)
+                theta = optax.apply_updates(theta, updates)
+                theta = jnp.clip(theta, lo_clip, hi_clip)
+                return (theta, opt_state, best_theta, best_value), value
 
-        best_theta, best_value = theta, np.inf
-        for _ in range(self.n_steps):
-            theta, opt_state, value = step(theta, opt_state)
-            if float(value) < best_value:
-                best_value = float(value)
-                best_theta = theta
+            init = (theta0, opt.init(theta0), theta0, jnp.asarray(np.inf, dtype))
+            (theta, _, best_theta, best_value), values = jax.lax.scan(
+                body, init, None, length=self.n_steps
+            )
+            # the final iterate may beat every recorded best
+            final_value, _ = value_and_grad(theta)
+            better = final_value < best_value
+            best_theta = jnp.where(better, theta, best_theta)
+            best_value = jnp.where(better, final_value, best_value)
+            return best_theta, best_value
+
+        best_theta, best_value = run(theta0)
+        best_value = float(best_value)
 
         final = estimator.evaluate(np.asarray(best_theta, dtype=np.float64))
         return PointEstimate(

@@ -66,11 +66,18 @@ MAGICC_PARAM_SPECS: Dict[str, Tuple[str, Tuple[float, float], float]] = {
     ),
 }
 
-# observed variables: (sigma, every-N-years observation cadence offset)
+# observed variables and their observation noise.  Ocean Heat Content is
+# essential, not decorative: surface temperature alone leaves the classic
+# ECS / ocean-diffusivity (kappa) degeneracy — a high-ECS high-kappa model
+# reproduces a century of warming as well as the truth (measured: an
+# 8-parameter MAP without OHC lands at ecs 4.25 / kappa 1.93 for truth
+# 3.4 / 0.7 with a BETTER fit).  OHC pins the heat actually stored below
+# the surface, breaking the ridge.
 _OBSERVABLES = {
     "Surface Temperature": 0.05,  # K, global mean of the FourBox output
     "Atmospheric Concentration|CO2": 1.0,  # ppm
     "Atmospheric Concentration|CH4": 10.0,  # ppb
+    "Ocean Heat Content": 5.0e7,  # J/m^2 (~2% of the 1950 signal)
 }
 
 

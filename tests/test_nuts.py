@@ -235,3 +235,71 @@ class TestNUTS:
                 n_iterations=2, n_chains=4, warmup=1,
                 init_positions=np.ones((3, 1)),
             )
+
+
+class TestGradMode:
+    """Forward-mode (batched-JVP) gradients: the TPU-native engine.
+
+    The model is a long ``lax.scan``; reverse mode stashes per-step
+    residuals to memory and runs a second backward scan, while forward
+    mode rides D tangents through the same forward scan (D batched JVPs,
+    no residual traffic) — measured ~1.8x faster per NUTS leapfrog on the
+    TPU at D=4.  Values must be identical to reverse mode at f64 rounding
+    on a clean (full-precision) model.
+    """
+
+    def test_fwd_matches_rev_to_f64_rounding(self, runner_1d):
+        import jax
+        import jax.numpy as jnp
+
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        nuts = NUTSSampler(
+            params, runner_1d, GaussianLikelihood(), _make_target(),
+        )
+        logp = nuts._log_prob
+        theta = jnp.asarray([1.1])
+        v_rev, g_rev = jax.jit(jax.value_and_grad(logp))(theta)
+        vag = nuts._make_value_and_grad(logp, 1)
+        v_fwd, g_fwd = jax.jit(vag)(theta)
+        np.testing.assert_allclose(float(v_fwd), float(v_rev), rtol=1e-14)
+        np.testing.assert_allclose(
+            np.asarray(g_fwd), np.asarray(g_rev), rtol=1e-12
+        )
+
+    def test_auto_selects_fwd_for_small_d(self, runner_1d):
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        nuts = NUTSSampler(
+            params, runner_1d, GaussianLikelihood(), _make_target(),
+        )
+        assert nuts.grad_mode == "auto"
+        # small D -> batched-JVP closure, not jax's value_and_grad wrapper
+        vag = nuts._make_value_and_grad(nuts._log_prob, 1)
+        assert vag.__name__ == "value_and_grad"
+        rev = nuts._make_value_and_grad(nuts._log_prob, 64)
+        import jax
+
+        assert rev.__wrapped__ is nuts._log_prob  # jax.value_and_grad wrapper
+
+    def test_rejects_unknown_mode(self, runner_1d):
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        with pytest.raises(ValueError, match="grad_mode"):
+            NUTSSampler(
+                params, runner_1d, GaussianLikelihood(), _make_target(),
+                grad_mode="backward",
+            )
+
+    def test_explicit_modes_sample_valid_chains(self, runner_1d):
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        means = {}
+        for mode in ("fwd", "rev"):
+            nuts = NUTSSampler(
+                params, runner_1d, GaussianLikelihood(), _make_target(),
+                max_tree_depth=5, grad_mode=mode,
+            )
+            chain = nuts.run(n_iterations=60, n_chains=4, warmup=60, seed=5)
+            flat = chain.flat_samples(discard=0)
+            assert np.all(np.isfinite(flat))
+            means[mode] = flat[:, 0].mean()
+        # both engines sample the same posterior (identical grads at f64 =>
+        # identical trajectories => identical draws)
+        assert means["fwd"] == pytest.approx(means["rev"], abs=1e-8)
