@@ -65,6 +65,32 @@ def _enable_cache():
 
 N_REPS = 20
 
+# TPU v5e (v5 lite) peak HBM bandwidth — the roofline ceiling for these
+# bandwidth-bound scan programs (the MXU peak is irrelevant: the physics
+# is elementwise/VPU work on small state rows).
+V5E_HBM_BYTES_PER_S = 8.19e11
+
+
+def _roofline(extra, name, runner, params, out_vars, wall_s, exo=None):
+    """XLA cost-model attribution for the exact compiled ensemble program:
+    flops, bytes accessed, and the achieved HBM-bandwidth fraction at the
+    measured wall time.  Lower+compile round-trips the persistent cache,
+    so this costs no second real compile."""
+    try:
+        analysis = runner.cost_analysis(params, exo=exo, out_vars=out_vars)
+        if not analysis:
+            extra[f"{name}_roofline_error"] = "no cost analysis available"
+            return
+        flops = float(analysis.get("flops", 0.0))
+        byts = float(analysis.get("bytes accessed", 0.0))
+        extra[f"{name}_flops"] = flops
+        extra[f"{name}_bytes_accessed"] = byts
+        extra[f"{name}_achieved_gflop_per_s"] = flops / wall_s / 1e9
+        extra[f"{name}_achieved_hbm_gb_per_s"] = byts / wall_s / 1e9
+        extra[f"{name}_hbm_roofline_frac"] = byts / wall_s / V5E_HBM_BYTES_PER_S
+    except Exception as exc:  # attribution must never kill the bench
+        extra[f"{name}_roofline_error"] = repr(exc)[:200]
+
 
 def _sync(out):
     """Force completion: materialize one scalar of every output array.
@@ -177,6 +203,9 @@ def bench_flagship(extra):
         extra[f"member_years_per_sec_{n_members // 1000}k"] = (
             n_members * (n_years - 1) / med
         )
+        if n_members == 100_000:
+            _roofline(extra, "flagship_100k", runner, params,
+                      ["Surface Temperature"], med)
     extra["final_temp_sample_K"] = float(
         np.asarray(results[10_000][2]["Surface Temperature"])[0, -1, 0]
     )
@@ -254,6 +283,13 @@ def bench_magicc(extra):
             "ClimateUDEB.kappa": rng.uniform(0.4, 1.5, n_members),
         }
     )
+    # first-call latency incl. trace+compile: the first thing a user hits
+    # (persistent-cache hits make this small on repeat runs — recorded
+    # either way so compile-time regressions are visible round to round)
+    t0 = time.perf_counter()
+    out = runner.run(params=params, out_vars=["Surface Temperature"])
+    _sync(out)
+    extra["magicc_100k_compile_s"] = time.perf_counter() - t0
     med, best, out = _timed(
         lambda: runner.run(params=params, out_vars=["Surface Temperature"])
     )
@@ -262,6 +298,8 @@ def bench_magicc(extra):
     extra["magicc_100k_550yr_member_years_per_sec"] = (
         n_members * (n_years - 1) / med
     )
+    _roofline(extra, "magicc_100k_550yr", runner, params,
+              ["Surface Temperature"], med)
 
     # the full-options graph: ten components + the two beyond-reference
     # modules (permafrost carbon feedback + sea level rise) in one fused
@@ -540,17 +578,110 @@ def bench_calibration_at_scale(extra):
     )
 
     # gradient-based NUTS, 64 chains on-device (beyond the reference,
-    # which has no gradient sampler at all)
+    # which has no gradient sampler at all).  The warm-up must use the
+    # SAME iteration counts as the timed run: the chunked scan executable
+    # is specialised on its trip count, so a (2, 2) warm-up leaves the
+    # (40, 40) shape to compile inside the timed region (the entire
+    # "NUTS is 200x slower" signal of BENCH_r03 was mostly that hidden
+    # compile + tunnel dispatch, not device compute).
     nuts = NUTSSampler(
         params, runner, GaussianLikelihood(), target, max_tree_depth=6
     )
-    nuts.run(n_iterations=2, n_chains=64, warmup=2, seed=0)  # warm-up
+    t0 = time.perf_counter()
+    nuts.run(n_iterations=40, n_chains=64, warmup=40, seed=0)  # warm-up
+    extra["nuts_64chains_first_s_incl_compile"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     nuts.run(n_iterations=40, n_chains=64, warmup=40, seed=1)
     steady = time.perf_counter() - t0
     evals = int(nuts.last_diagnostics["n_model_evals"])
     extra["nuts_64chains_wall_s"] = steady
     extra["nuts_64chains_model_evals_per_sec"] = evals / steady
+
+
+def bench_magicc_calibration(extra):
+    """At-scale on-device calibration of the FULL ten-component MAGICC
+    model (the purpose of the whole calibrate subsystem): 1024-walker
+    stretch MCMC and 64-chain NUTS over eight physical parameters
+    spanning climate response, terrestrial+ocean carbon, CH4 chemistry
+    and aerosol forcing, against synthetic-truth observations of
+    global-mean temperature, CO2, CH4 and ocean heat content."""
+    from rscm_tpu.calibrate import EnsembleSampler, NUTSSampler, WalkerInit
+    from rscm_tpu.magicc.calibration import magicc_calibration
+
+    calib = magicc_calibration()  # 1850-2100, eight parameters
+    sampler = EnsembleSampler(
+        calib.params, calib.runner, calib.likelihood, calib.target
+    )
+
+    # 256 iterations = 4 chunks of exactly 64 scan trips: one executable,
+    # shared by the warm-up, the steady measurement and the convergence
+    # segments below.
+    n_iterations, n_walkers = 256, 1024
+    t0 = time.perf_counter()
+    sampler.run(
+        n_iterations=n_iterations, init=WalkerInit.from_prior(), thin=1,
+        n_walkers=n_walkers, seed=7, engine="device",
+    )
+    extra["magicc_mcmc_first_s_incl_compile"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    chain = sampler.run(
+        n_iterations=n_iterations, init=WalkerInit.from_prior(), thin=1,
+        n_walkers=n_walkers, seed=8, engine="device",
+    )
+    steady = time.perf_counter() - t0
+    assert chain.flat_samples(discard=0).shape == (
+        n_iterations * n_walkers, 8,
+    )
+    extra["magicc_mcmc_1024walkers_wall_s_256it"] = steady
+    extra["magicc_mcmc_model_evals_per_sec"] = n_iterations * n_walkers / steady
+
+    # wall to convergence (R-hat < 1.05 on every parameter), from-prior
+    # initialisation: 256-iteration segments, capped at 8 (the cap is a
+    # bench-budget guard; the achieved R-hat is recorded either way)
+    from rscm_tpu.calibrate.chain import Chain
+    from rscm_tpu.calibrate.sampler import SamplerState
+
+    rng = np.random.default_rng(21)
+    state = SamplerState(
+        WalkerInit.from_prior().initialize(n_walkers, calib.params, rng),
+        calib.params.param_names(),
+    )
+    conv_chain = Chain(calib.params.param_names(), 1)
+    t0 = time.perf_counter()
+    total = 0
+    r_hat = float("inf")
+    for _ in range(8):
+        sampler._run_from_state(
+            state, conv_chain, n_iterations, rng, None, "device"
+        )
+        total += n_iterations
+        r_hat = max(conv_chain.r_hat(discard=total // 2).values())
+        if r_hat < 1.05:
+            break
+    extra["magicc_mcmc_wall_to_rhat105_s"] = time.perf_counter() - t0
+    extra["magicc_mcmc_iterations_to_rhat105"] = total
+    extra["magicc_mcmc_final_rhat"] = float(r_hat)
+
+    # gradient-based NUTS over the same eight parameters; a 151-year
+    # window keeps the (huge) tree-building program's compile affordable
+    # through the remote tunnel.  48 total iterations = one 48-trip chunk.
+    calib_nuts = magicc_calibration(years=np.arange(1850.0, 2001.0))
+    nuts = NUTSSampler(
+        calib_nuts.params, calib_nuts.runner, calib_nuts.likelihood,
+        calib_nuts.target, max_tree_depth=5,
+    )
+    t0 = time.perf_counter()
+    nuts.run(n_iterations=24, n_chains=64, warmup=24, seed=0)
+    extra["magicc_nuts_first_s_incl_compile"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    nuts.run(n_iterations=24, n_chains=64, warmup=24, seed=1)
+    steady = time.perf_counter() - t0
+    evals = int(nuts.last_diagnostics["n_model_evals"])
+    extra["magicc_nuts_64chains_wall_s"] = steady
+    extra["magicc_nuts_model_evals_per_sec"] = evals / steady
+    extra["magicc_nuts_divergences"] = int(
+        nuts.last_diagnostics["n_divergences"]
+    )
 
 
 def bench_mcmc(extra):
@@ -680,6 +811,7 @@ def main():
     bench_ssp_cross(extra)
     bench_mcmc(extra)
     bench_calibration_at_scale(extra)
+    bench_magicc_calibration(extra)
 
     north_star = 100_000 * 550 / 1.0  # 100k members, 1750-2300, <1s
     result = {

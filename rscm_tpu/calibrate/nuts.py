@@ -469,13 +469,22 @@ class NUTSSampler:
             keys = jr.split(key, max_depth)
             for depth in range(max_depth):
                 stage = make_stage(depth, keys[depth])
-                # Unconditional: every stage always executes, with finished
-                # chains riding along masked.  A ``lax.cond`` early-exit
-                # here is a trap on the tunneled TPU runtime — each cond
-                # predicate forces a device->host sync to pick the branch
-                # (~25 ms RTT x stages x iterations dwarfed the <4 ms of
-                # actual device compute per 12 iterations; profiled).
-                carry = stage(carry)
+                # Early exit without lax.cond: a cond predicate forces a
+                # device->host sync to pick the branch (~25 ms RTT per
+                # stage per iteration through the tunnel — profiled to
+                # dwarf the actual device compute), while a while-loop
+                # condition is evaluated ON device.  A 0/1-trip while_loop
+                # is therefore the sync-free conditional: the stage (and
+                # its 2^depth masked leapfrog steps) is skipped entirely
+                # once every chain's tree has terminated.
+                def once(s, stage=stage):
+                    return (jnp.asarray(False), stage(s[1]))
+
+                carry = jax.lax.while_loop(
+                    lambda s: s[0] & jnp.any(~s[1]["stop"]),
+                    once,
+                    (jnp.asarray(True), carry),
+                )[1]
 
             out = carry
             accept_stat = jnp.where(
