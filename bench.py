@@ -333,6 +333,27 @@ def bench_magicc(extra):
         extra["magicc_permafrost_slr_10k_member_years_per_sec"] = (
             n_members * (n_years - 1) / med
         )
+
+        # the same extended graph at the headline 100k scale: HBM behaviour
+        # of the permafrost band state + SLR IRF history at full ensemble
+        n_members = 100_000
+        params = runner.batched_params(
+            {
+                "ClimateUDEB.ecs": rng.uniform(1.8, 5.5, n_members),
+                "Permafrost.arctic_amplification": rng.uniform(1.5, 2.5, n_members),
+            }
+        )
+        med, best, out = _timed(
+            lambda: runner.run(
+                params=params, out_vars=["Surface Temperature", "Sea Level Rise"]
+            )
+        )
+        extra["magicc_permafrost_slr_100k_wall_s"] = med
+        extra["magicc_permafrost_slr_100k_member_years_per_sec"] = (
+            n_members * (n_years - 1) / med
+        )
+        _roofline(extra, "magicc_permafrost_slr_100k", runner, params,
+                  ["Surface Temperature", "Sea Level Rise"], med)
     except Exception as exc:
         extra["magicc_permafrost_slr_error"] = repr(exc)[:200]
 

@@ -22,6 +22,21 @@ def _is_traced(*xs) -> bool:
     return any(isinstance(x, (jax.Array, jax.core.Tracer)) for x in xs)
 
 
+def static_value(x):
+    """The concrete float value of ``x`` if it is known at trace time
+    (python/numpy scalar — e.g. a parameter baked as a constant), else
+    ``None``.  Lets physics special-case default parameter values
+    (skip a ``power`` at exponent 1, share an ``exp`` grid between
+    equal Q10 alphas) without touching swept/traced parameters."""
+    if isinstance(x, (int, float)):
+        return float(x)
+    if isinstance(x, np.ndarray) and x.ndim == 0:
+        return float(x)
+    if isinstance(x, (np.floating, np.integer)):
+        return float(x)
+    return None
+
+
 def _dispatch(name):
     def fn(*args, **kwargs):
         if _is_traced(*args):

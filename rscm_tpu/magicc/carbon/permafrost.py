@@ -241,6 +241,28 @@ class Permafrost(Component):
         return xm.exp(alpha * (1.0 / self.q10_temp1 - 1.0 / denom))
 
     @staticmethod
+    def _memo_key(alpha):
+        """Dedup key for per-alpha (band, month) reductions: concrete
+        parameter values share work (all four q10 alphas default to the
+        same constant — one exp grid instead of four, and exp is the
+        module's dominant cost under the accurate-math TPU kernels);
+        traced (swept) alphas stay distinct."""
+        v = xm.static_value(alpha)
+        return v if v is not None else id(alpha)
+
+    def _q10_means(self, t_soil, f_moist, alpha, cache):
+        """Annual means ``(mean(q10), mean(q10 * f_moist))`` for one
+        alpha, memoised across soils/pathways within a step."""
+        key = self._memo_key(alpha)
+        if key not in cache:
+            q10 = self._q10(t_soil, alpha)
+            cache[key] = (
+                xm.mean(q10, axis=-1),
+                xm.mean(q10 * f_moist, axis=-1),
+            )
+        return cache[key]
+
+    @staticmethod
     def _density(pool, area):
         """Carbon density with the zero-area guard of §8.3 (tolerance,
         not exact equality)."""
@@ -259,7 +281,7 @@ class Permafrost(Component):
         emitted = xm.maximum(pool + inflow - new_pool, 0.0)
         return new_pool, emitted
 
-    def _solve_soil(self, soil, state, t_summer_max, t_soil, f_moist, dt):
+    def _solve_soil(self, soil, state, t_summer_max, t_soil, f_moist, dt, q10_cache):
         """One annual update for one soil type over all bands.
 
         Returns (new_state_fields, co2_amount_gtc, ch4_carbon_amount_gtc)
@@ -273,23 +295,33 @@ class Permafrost(Component):
         aerob_pool = state[f"{soil}_aerob_pool"]
         anaerob_pool = state[f"{soil}_anaerob_pool"]
 
-        # annual-mean anaerobic fraction (§2.8)
-        f_anaerob_monthly = xm.clip(
-            p["anaerob_init"]
-            + (p["anaerob_max"] - p["anaerob_init"]) * f_moist * p["anaerob_sens"],
-            0.0,
-            p["anaerob_max"],
-        )
-        f_anaerob = xm.mean(f_anaerob_monthly, axis=-1)
+        # annual-mean anaerobic fraction (§2.8); with the default moisture
+        # sensitivity of 0 (when concrete) it is the constant initial
+        # fraction — no (band, month) grid to reduce
+        if xm.static_value(p["anaerob_sens"]) == 0.0:
+            f_anaerob = xm.clip(p["anaerob_init"], 0.0, p["anaerob_max"])
+        else:
+            f_anaerob_monthly = xm.clip(
+                p["anaerob_init"]
+                + (p["anaerob_max"] - p["anaerob_init"])
+                * f_moist
+                * p["anaerob_sens"],
+                0.0,
+                p["anaerob_max"],
+            )
+            f_anaerob = xm.mean(f_anaerob_monthly, axis=-1)
         f_aerob = 1.0 - f_anaerob
 
         # thaw / refreeze (§2.3, §7.2 STEP 7): signed area transfer,
         # bounded by what each side holds
-        rate = (
-            xm.sign(t_summer_max)
-            * xm.power(xm.abs(t_summer_max), p["thaw_exp"])
-            * p["thaw_rate"]
-        )
+        # |T|^a costs exp+log under the accurate-math kernels; the default
+        # exponent 1.0 (when concrete, i.e. not being swept) is exact |T|
+        thaw_exp = p["thaw_exp"]
+        if xm.static_value(thaw_exp) == 1.0:
+            thaw_mag = xm.abs(t_summer_max)
+        else:
+            thaw_mag = xm.power(xm.abs(t_summer_max), thaw_exp)
+        rate = xm.sign(t_summer_max) * thaw_mag * p["thaw_rate"]
         d_area = rate * frozen_area * dt
         thawed_area = aerob_area + anaerob_area
         d_area = xm.clip(d_area, -thawed_area, frozen_area)
@@ -337,17 +369,20 @@ class Permafrost(Component):
         aerob_inflow = aerob_inflow + shift_c
         anaerob_inflow = anaerob_inflow - shift_c
 
-        # decomposition (§2.7): annual means of the monthly rates
+        # decomposition (§2.7): annual means of the monthly rates.  The
+        # per-soil scalars factor out of the month mean (the mean is
+        # linear), so the (band, month) q10 grids are shared across
+        # soils/pathways via the memo — one accurate-exp grid per
+        # distinct alpha instead of four
         base = p["rate_scale"] / self.turnover_ms_aerob
-        d_aerob = xm.mean(
-            base * self._q10(t_soil, p["q10_alpha_aerob"]) * f_moist, axis=-1
-        )
-        d_anaerob = xm.mean(
-            base
-            * self.decomp_anaerob_over_aerob
-            * self._q10(t_soil, p["q10_alpha_anaerob"]),
-            axis=-1,
-        )
+        mean_q10_aerob = self._q10_means(
+            t_soil, f_moist, p["q10_alpha_aerob"], q10_cache
+        )[1]
+        mean_q10_anaerob = self._q10_means(
+            t_soil, f_moist, p["q10_alpha_anaerob"], q10_cache
+        )[0]
+        d_aerob = base * mean_q10_aerob
+        d_anaerob = base * self.decomp_anaerob_over_aerob * mean_q10_anaerob
 
         aerob_pool, e_aerob = self._decay_pool(aerob_pool, d_aerob, aerob_inflow, dt)
         anaerob_pool, e_anaerob = self._decay_pool(
@@ -384,9 +419,10 @@ class Permafrost(Component):
         new_state = {}
         co2_c = 0.0  # GtC emitted over this step
         ch4_c = 0.0  # GtC (as carbon) emitted as CH4 over this step
+        q10_cache = {}
         for soil in _SOILS:
             fields, soil_co2, soil_ch4 = self._solve_soil(
-                soil, state, t_summer_max, t_soil, f_moist, dt
+                soil, state, t_summer_max, t_soil, f_moist, dt, q10_cache
             )
             new_state.update(fields)
             co2_c = co2_c + soil_co2

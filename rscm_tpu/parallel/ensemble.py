@@ -154,6 +154,25 @@ class EnsembleRunner:
                 f"batched_params: unknown parameter(s) {sorted(unknown)}; "
                 f"known traced parameters: {known}"
             )
+        # Only batched (B,) leaves are placed on device: unvaried scalars
+        # are baked into the program as trace-time constants by
+        # :meth:`run` (see ``_split_params``), so committing them would
+        # only force a device->host pull per scalar at bake time.
+        def _place(sharding=None):
+            placed = {}
+            for nk, node in out.items():
+                placed[nk] = {}
+                for pn, v in node.items():
+                    if np.ndim(v) >= 1:
+                        placed[nk][pn] = (
+                            jax.device_put(v, sharding)
+                            if sharding is not None
+                            else jax.device_put(v)
+                        )
+                    else:
+                        placed[nk][pn] = v
+            return placed
+
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -165,24 +184,46 @@ class EnsembleRunner:
                 # pad-then-place path shard them.
                 return out
             axis = mesh.axis_names[0]
-            batched = NamedSharding(mesh, P(axis))
-            replicated = NamedSharding(mesh, P())
-            return jax.device_put(
-                out,
-                jax.tree.map(
-                    lambda v: batched if np.ndim(v) >= 1 else replicated, out
-                ),
-            )
+            return _place(NamedSharding(mesh, P(axis)))
         if device is not None:
-            return jax.device_put(out, device)
+            return _place(device)
         # No explicit target: default-device residency is a perf optimisation
         # only — if the default backend is unusable (e.g. a libtpu client /
         # terminal mismatch while the caller targets a CPU mesh), keep the
         # leaves host-side and let jit's in_shardings place them at call time.
         try:
-            return jax.device_put(out)
+            return _place()
         except Exception:
             return out
+
+    # -- constant baking -------------------------------------------------------
+
+    @staticmethod
+    def _split_params(params):
+        """Partition the parameter pytree into traced (batched ``(B,)``)
+        leaves and baked scalar constants.
+
+        Unvaried scalars become **trace-time python floats** closed over
+        by the program, not jit arguments: XLA constant-folds them —
+        unit-conversion factors, start-year gates, default exponents and
+        equal Q10 alphas all collapse at compile time (the same folding
+        the calibration runner gets from ``params_pytree``'s numpy
+        closure).  The jit cache is keyed on the baked values, so
+        changing a scalar triggers a recompile instead of stale results.
+        """
+        traced: dict = {}
+        baked: dict = {}
+        baked_key = []
+        for nk in sorted(params):
+            for pn in sorted(params[nk]):
+                v = params[nk][pn]
+                if np.ndim(v) >= 1:
+                    traced.setdefault(nk, {})[pn] = v
+                else:
+                    fv = float(v)
+                    baked.setdefault(nk, {})[pn] = fv
+                    baked_key.append((nk, pn, fv))
+        return traced, baked, tuple(baked_key)
 
     # -- attribution -----------------------------------------------------------
 
@@ -217,14 +258,17 @@ class EnsembleRunner:
         if exo:
             exo_arg.update(exo)
         internals = p.gather_internals()
+        traced_params, baked, _ = self._split_params(params)
         param_axes = jax.tree.map(
-            lambda v: 0 if np.ndim(v) >= 1 else None, params
+            lambda v: 0 if np.ndim(v) >= 1 else None, traced_params
         )
         exo_axes = jax.tree.map(
             lambda v: 0 if np.ndim(v) >= 3 else None, exo_arg
         )
-        fn = self._build_fn(exo_axes, start_idx, stream_out, param_axes)
-        compiled = jax.jit(fn).lower(endo, exo_arg, params, internals).compile()
+        fn = self._build_fn(exo_axes, start_idx, stream_out, param_axes, baked)
+        compiled = (
+            jax.jit(fn).lower(endo, exo_arg, traced_params, internals).compile()
+        )
         analysis = compiled.cost_analysis()
         if isinstance(analysis, list):
             analysis = analysis[0] if analysis else None
@@ -232,23 +276,33 @@ class EnsembleRunner:
 
     # -- execution -----------------------------------------------------------
 
-    def _build_fn(self, exo_axes, start_idx: int, stream_out, param_axes):
+    def _build_fn(self, exo_axes, start_idx: int, stream_out, param_axes, baked):
         import jax
 
         p = self.program
 
+        def merge(tparams):
+            """Overlay traced (batched) leaves on the baked constants."""
+            out = {nk: dict(node) for nk, node in baked.items()}
+            for nk, node in tparams.items():
+                out.setdefault(nk, {}).update(node)
+            return out
+
         if stream_out is not None:
 
-            def single(endo, exo, params, internals):
+            def single(endo, exo, tparams, internals):
                 trajs, _carry = p.run_window_fn(
-                    endo, exo, params, internals, stream_out, start_idx=start_idx
+                    endo, exo, merge(tparams), internals, stream_out,
+                    start_idx=start_idx,
                 )
                 return trajs
 
         else:
 
-            def single(endo, exo, params, internals):
-                endo_out, _ = p.run_fn(endo, exo, params, internals, start_idx=start_idx)
+            def single(endo, exo, tparams, internals):
+                endo_out, _ = p.run_fn(
+                    endo, exo, merge(tparams), internals, start_idx=start_idx
+                )
                 return endo_out
 
         # per-leaf axes: only the actually-varied parameters / batched
@@ -359,6 +413,7 @@ class EnsembleRunner:
         else:
             exo_arg = base_exo
 
+        params, baked, baked_key = self._split_params(params)
         param_axes = jax.tree.map(
             lambda v: 0 if np.ndim(v) >= 1 else None, params
         )
@@ -374,6 +429,7 @@ class EnsembleRunner:
                 if np.ndim(v) >= 1
             ),
             tuple(k for k, v in sorted(exo_arg.items()) if np.ndim(v) >= 3),
+            baked_key,
         )
         if not axes_key[0] and not axes_key[1]:
             raise ValueError(
@@ -451,7 +507,9 @@ class EnsembleRunner:
             params = jax.device_put(params, shard_for(param_axes))
             exo_arg = jax.device_put(exo_arg, shard_for(exo_axes))
             if key not in self._jitted:
-                fn = self._build_fn(exo_axes, start_idx, stream_out, param_axes)
+                fn = self._build_fn(
+                    exo_axes, start_idx, stream_out, param_axes, baked
+                )
                 self._jitted[key] = jax.jit(
                     fn,
                     in_shardings=(
@@ -462,7 +520,7 @@ class EnsembleRunner:
                     ),
                 )
         elif key not in self._jitted:
-            fn = self._build_fn(exo_axes, start_idx, stream_out, param_axes)
+            fn = self._build_fn(exo_axes, start_idx, stream_out, param_axes, baked)
             self._jitted[key] = jax.jit(fn)
 
         # tracing happens inside this first call: declare the platform it

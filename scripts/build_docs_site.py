@@ -146,11 +146,35 @@ def render_nav(nav, current: str, root_prefix: str) -> str:
 _MD_LINK = re.compile(r"\[([^\]]*)\]\(([^)#\s]+)(#[^)\s]*)?\)")
 
 
+_MD_HEADING = re.compile(r"^(#{1,6})\s+(.+?)\s*#*\s*$", re.MULTILINE)
+
+
+def _slugify(heading: str) -> str:
+    """Anchor id for a heading — the toc extension's slugify (lowercase,
+    strip punctuation, hyphens for spaces), enough for cross-page
+    ``page.md#section`` fragment checking."""
+    text = re.sub(r"[`*_\[\]()!]", "", heading)
+    text = re.sub(r"[^\w\s-]", "", text.lower())
+    return re.sub(r"[\s]+", "-", text.strip())
+
+
+def page_anchors(path: pathlib.Path) -> set:
+    """All heading anchors defined by a markdown page."""
+    try:
+        text = path.read_text()
+    except Exception:
+        return set()
+    return {_slugify(m.group(2)) for m in _MD_HEADING.finditer(text)}
+
+
 def check_links(src: str, text: str, docs_dir: pathlib.Path, errors: list):
-    """Every relative link must resolve inside the docs tree."""
+    """Every relative link must resolve inside the docs tree, and every
+    ``#fragment`` against a markdown page must name one of its headings
+    (the parts of ``mkdocs build --strict`` link validation that matter)."""
     base = (docs_dir / src).parent
     for m in _MD_LINK.finditer(text):
         target = m.group(2)
+        frag = (m.group(3) or "").lstrip("#")
         if re.match(r"^[a-z][a-z0-9+.-]*:", target) or target.startswith("/"):
             continue  # absolute URL / site-absolute
         resolved = (base / target).resolve()
@@ -158,6 +182,11 @@ def check_links(src: str, text: str, docs_dir: pathlib.Path, errors: list):
             errors.append(f"{src}: broken link -> {target}")
         elif docs_dir.resolve() not in resolved.parents and resolved != docs_dir.resolve():
             errors.append(f"{src}: link escapes docs tree -> {target}")
+        elif frag and resolved.suffix == ".md":
+            if frag not in page_anchors(resolved):
+                errors.append(
+                    f"{src}: broken anchor -> {target}#{frag}"
+                )
 
 
 def rewrite_md_links(text: str) -> str:
@@ -254,6 +283,19 @@ def build(config_path: pathlib.Path, out_dir: pathlib.Path, strict: bool) -> lis
         src_assets = docs_dir / asset_dir
         if src_assets.is_dir():
             shutil.copytree(src_assets, out_dir / asset_dir, dirs_exist_ok=True)
+
+    if strict:
+        # mkdocs --strict errors on pages that exist in the docs tree but
+        # are absent from the nav — orphans silently rot
+        in_nav = {src for _, src in nav_pages(nav)}
+        for page in sorted(docs_dir.rglob("*.md")) + sorted(
+            docs_dir.rglob("*.ipynb")
+        ):
+            if ".ipynb_checkpoints" in page.parts:
+                continue
+            rel = str(page.relative_to(docs_dir))
+            if rel not in in_nav:
+                errors.append(f"page not in nav: {rel}")
     return errors
 
 

@@ -118,6 +118,36 @@ def test_site_build_strict():
         assert config["site_name"] in index
 
 
+def test_strict_checks_catch_orphans_and_broken_anchors(tmp_path):
+    """The self-contained builder enforces the ``mkdocs build --strict``
+    failure modes: orphan pages, broken links, and broken #anchors."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "build_docs_site", ROOT / "scripts" / "build_docs_site.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "index.md").write_text(
+        "# Home\n\n[ok](other.md#real-section)\n"
+        "[bad anchor](other.md#no-such-heading)\n[dead](missing.md)\n"
+    )
+    (docs / "other.md").write_text("# Other\n\n## Real Section\ntext\n")
+    (docs / "orphan.md").write_text("# Orphan\n")
+    (tmp_path / "mkdocs.yml").write_text(
+        "site_name: t\nnav:\n  - Home: index.md\n  - Other: other.md\n"
+    )
+    errors = mod.build(tmp_path / "mkdocs.yml", tmp_path / "site", strict=True)
+    joined = "\n".join(errors)
+    assert "broken anchor -> other.md#no-such-heading" in joined
+    assert "broken link -> missing.md" in joined
+    assert "page not in nav: orphan.md" in joined
+    assert "real-section" not in joined  # the valid anchor passes
+
+
 def test_mkdocs_build():
     mkdocs = pytest.importorskip("mkdocs")  # noqa: F841 — absence skips
     import subprocess

@@ -188,15 +188,19 @@ class TestMeshAwarePlacement:
             mesh=mesh,
         )
         leaves = jax.tree.leaves(params)
-        assert all(isinstance(leaf, jax.Array) for leaf in leaves)
-        batched = [l for l in leaves if l.ndim >= 1 and l.shape[0] > 1]
-        scalars = [l for l in leaves if l.ndim == 0]
+        batched = [l for l in leaves if np.ndim(l) >= 1]
+        scalars = [l for l in leaves if np.ndim(l) == 0]
         assert batched and scalars
+        # batched leaves live sharded on the mesh; unvaried scalars stay
+        # host-side — run() bakes them into the program as trace-time
+        # constants (committing them would force a device->host pull per
+        # scalar at bake time)
+        assert all(isinstance(l, jax.Array) for l in batched)
         assert all(
             l.sharding == NamedSharding(mesh, P(mesh.axis_names[0]))
             for l in batched
         )
-        assert all(l.sharding == NamedSharding(mesh, P()) for l in scalars)
+        assert not any(isinstance(l, jax.Array) for l in scalars)
 
     def test_batched_params_explicit_device(self):
         import jax
@@ -207,7 +211,37 @@ class TestMeshAwarePlacement:
             {"TwoLayer.lambda0": np.array([0.9, 1.1])}, device=device
         )
         for leaf in jax.tree.leaves(params):
-            assert leaf.devices() == {device}
+            if np.ndim(leaf) >= 1:
+                assert leaf.devices() == {device}
+            else:  # scalars stay host-side for constant baking
+                assert not isinstance(leaf, jax.Array)
+
+    def test_baked_scalar_change_is_not_stale(self):
+        """Scalars are baked as compile-time constants, keyed on their
+        values: changing one between run() calls must produce the new
+        physics (a fresh compile), never a stale cached program."""
+        runner = self._runner()
+        params = runner.batched_params(
+            {"TwoLayer.lambda0": np.array([0.9, 1.1])}
+        )
+        out1 = np.asarray(
+            runner.run(params=params, out_vars=["Surface Temperature"])[
+                "Surface Temperature"
+            ]
+        )
+        node_key = next(
+            nk for nk, node in params.items() if "eta" in node
+        )
+        params2 = {nk: dict(node) for nk, node in params.items()}
+        params2[node_key]["eta"] = np.float64(
+            float(params[node_key]["eta"]) * 2.0
+        )
+        out2 = np.asarray(
+            runner.run(params=params2, out_vars=["Surface Temperature"])[
+                "Surface Temperature"
+            ]
+        )
+        assert not np.allclose(out1[:, 1:], out2[:, 1:])
 
     def test_mesh_run_never_bare_device_put(self, monkeypatch):
         """Tripwire: with a mesh, no device_put may target the default backend."""
