@@ -605,8 +605,24 @@ def bench_calibration_at_scale(extra):
     # (40, 40) shape to compile inside the timed region (the entire
     # "NUTS is 200x slower" signal of BENCH_r03 was mostly that hidden
     # compile + tunnel dispatch, not device compute).
+    # Dedicated runner with the time scan unrolled 4x: at 64 chains the
+    # model scan is latency-bound (~9 us/step of iteration overhead vs
+    # sub-us physics), and NUTS pays that per leapfrog.  Measured on the
+    # chip: 6.9k -> 15.2k model-evals/s (the big-ensemble sections keep
+    # unroll=1, where it measured slower).
+    nuts_runner = CompiledModelRunner(
+        model,
+        param_map={
+            "lambda0": "TwoLayer.lambda0",
+            "eta": "TwoLayer.eta",
+            "tau": "CarbonCycle.tau",
+            "erf_2xco2": "CO2ERF.erf_2xco2",
+        },
+        output_variables=["Surface Temperature"],
+        scan_unroll=4,
+    )
     nuts = NUTSSampler(
-        params, runner, GaussianLikelihood(), target, max_tree_depth=6
+        params, nuts_runner, GaussianLikelihood(), target, max_tree_depth=6
     )
     t0 = time.perf_counter()
     nuts.run(n_iterations=40, n_chains=64, warmup=40, seed=0)  # warm-up

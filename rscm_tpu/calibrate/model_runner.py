@@ -131,11 +131,19 @@ class CompiledModelRunner(ModelRunner):
         output_variables: List[str],
         dtype=None,
         stream: bool = True,
+        scan_unroll: int = 1,
     ):
         from rscm_tpu.core.model.program import ModelProgram
 
         self.model = model
-        self.program = ModelProgram(model, dtype=dtype)
+        # scan_unroll trades program size for per-iteration scan overhead.
+        # Calibration batches are small (walkers/chains, not 100k members),
+        # so the time scan is latency-bound: ~9 us/step of pure iteration
+        # overhead at 64 chains on TPU v5e vs sub-us of physics. Gradient
+        # samplers (NUTS) that evaluate the model thousands of times per
+        # chain benefit from unrolling; the big-ensemble EnsembleRunner
+        # path keeps unroll=1 (measured slower there — program.py:70).
+        self.program = ModelProgram(model, dtype=dtype, scan_unroll=scan_unroll)
         self.output_variables = list(output_variables)
         # streaming (windowed-carry) program by default: the scan carry is
         # O(lookback) per variable instead of O(n_steps), which is what

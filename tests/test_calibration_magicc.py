@@ -133,6 +133,7 @@ class TestPosteriorShape:
             f"zero gradient component: {dict(zip(calib.param_names, grad))}"
         )
 
+    @pytest.mark.slow  # one reverse-mode pass through full MAGICC (~35 s)
     def test_forward_and_reverse_gradients_agree(self, calib, log_prob):
         from rscm_tpu.calibrate import NUTSSampler
 
@@ -189,7 +190,7 @@ class TestRecovery:
         lower, upper = map(np.asarray, calib.params.bounds())
         x0 = lower + rng.random(len(lower)) * (upper - lower)
         estimate = estimator.optimize(
-            AdamOptimizer(learning_rate=0.05, n_steps=150), x0=list(x0)
+            AdamOptimizer(learning_rate=0.08, n_steps=90), x0=list(x0)
         )
         theta_map = np.asarray(estimate.best_params)
 
@@ -241,6 +242,7 @@ class TestRecovery:
                 f"{calib.theta_true[j]:.4g} (rel-span err {err[j]:.3f})"
             )
 
+    @pytest.mark.slow  # compiles the NUTS tree program over full MAGICC
     def test_nuts_transitions_through_full_graph(self, calib):
         from rscm_tpu.calibrate import NUTSSampler
 

@@ -85,6 +85,7 @@ class TestNUTS:
         assert chain.r_hat()["lambda0"] < 1.1
         assert sampler.last_diagnostics["n_divergences"] == 0
 
+    @pytest.mark.slow  # comparative-efficiency claim, not correctness
     def test_fewer_model_evals_than_stretch(self, runner_1d):
         """The VERDICT stretch goal: NUTS must reach the posterior in fewer
         model evaluations than the stretch-move ensemble sampler."""
@@ -157,6 +158,7 @@ class TestNUTS:
         assert sampler.last_diagnostics["mass_adapted"]
         assert sampler.last_diagnostics["n_divergences"] == 0
 
+    @pytest.mark.slow  # mesh-NUTS is also exercised by the driver dryrun
     def test_mesh_sharded_chains_sample_same_posterior(self, runner_1d):
         """Chains shard over the mesh with no cross-device communication.
 

@@ -10,6 +10,12 @@ axis layout differs.
 import numpy as np
 import pytest
 
+# Interpret-mode Pallas on CPU is minutes of wall per case; the kernel's
+# correctness on real hardware is additionally gated by bench.py's
+# on-device golden checks every round, so the CPU differential suite
+# runs in the slow lane.
+pytestmark = pytest.mark.slow
+
 from rscm_tpu.core import GridType, ModelBuilder, TimeAxis, Timeseries, VariableSchema
 from rscm_tpu.core.spatial import ScalarGrid
 from rscm_tpu.magicc import ClimateUDEB

@@ -138,6 +138,7 @@ def test_udeb_ensemble_vmaps():
     assert ssts[0] < ssts[1] < ssts[2]
 
 
+@pytest.mark.slow  # reverse-mode through 2x50 ocean layers: ~2 min on CPU
 def test_gradient_through_udeb():
     """Reverse-mode AD must flow through the traced UDEB (NUTS/sensitivity
     depend on it).  The LAMCALC early-exit while_loop is not reverse-
