@@ -57,7 +57,7 @@ def _enable_cache():
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(__file__), ".jax_cache"),
+            os.path.join(os.path.dirname(__file__), ".jax_cache_tpu"),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
@@ -702,23 +702,33 @@ def bench_magicc_calibration(extra):
     # gradient-based NUTS over the same eight parameters; a 151-year
     # window keeps the (huge) tree-building program's compile affordable
     # through the remote tunnel.  48 total iterations = one 48-trip chunk.
-    calib_nuts = magicc_calibration(years=np.arange(1850.0, 2001.0))
-    nuts = NUTSSampler(
-        calib_nuts.params, calib_nuts.runner, calib_nuts.likelihood,
-        calib_nuts.target, max_tree_depth=5,
-    )
-    t0 = time.perf_counter()
-    nuts.run(n_iterations=24, n_chains=64, warmup=24, seed=0)
-    extra["magicc_nuts_first_s_incl_compile"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    nuts.run(n_iterations=24, n_chains=64, warmup=24, seed=1)
-    steady = time.perf_counter() - t0
-    evals = int(nuts.last_diagnostics["n_model_evals"])
-    extra["magicc_nuts_64chains_wall_s"] = steady
-    extra["magicc_nuts_model_evals_per_sec"] = evals / steady
-    extra["magicc_nuts_divergences"] = int(
-        nuts.last_diagnostics["n_divergences"]
-    )
+    # month_engine="xla": the forward-only Pallas UDEB kernel under
+    # forward-mode JVP reproducibly crashed the TPU worker process
+    # (kernel fault) — gradient paths take the plain-XLA month engine,
+    # which differentiates cleanly; forward ensembles keep the kernel.
+    try:
+        calib_nuts = magicc_calibration(
+            years=np.arange(1850.0, 2001.0),
+            model_kwargs={"udeb_params": {"month_engine": "xla"}},
+        )
+        nuts = NUTSSampler(
+            calib_nuts.params, calib_nuts.runner, calib_nuts.likelihood,
+            calib_nuts.target, max_tree_depth=5,
+        )
+        t0 = time.perf_counter()
+        nuts.run(n_iterations=24, n_chains=64, warmup=24, seed=0)
+        extra["magicc_nuts_first_s_incl_compile"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        nuts.run(n_iterations=24, n_chains=64, warmup=24, seed=1)
+        steady = time.perf_counter() - t0
+        evals = int(nuts.last_diagnostics["n_model_evals"])
+        extra["magicc_nuts_64chains_wall_s"] = steady
+        extra["magicc_nuts_model_evals_per_sec"] = evals / steady
+        extra["magicc_nuts_divergences"] = int(
+            nuts.last_diagnostics["n_divergences"]
+        )
+    except Exception as exc:  # never take the whole bench down
+        extra["magicc_nuts_error"] = repr(exc)[:200]
 
 
 def bench_mcmc(extra):

@@ -79,6 +79,7 @@ class NUTSSampler:
         max_tree_depth: int = 8,
         target_accept: float = 0.8,
         grad_mode: str = "auto",
+        stage_skip: bool = True,
     ):
         if not isinstance(runner, CompiledModelRunner):
             raise TypeError(
@@ -101,6 +102,12 @@ class NUTSSampler:
                 f"grad_mode must be 'auto', 'fwd' or 'rev', got {grad_mode!r}"
             )
         self.grad_mode = grad_mode
+        # stage_skip wraps each unrolled tree stage in a 0/1-trip
+        # while_loop (device-side early exit — see _build_step).  That
+        # adds one device-loop nesting level around the model program;
+        # disable to run every stage unconditionally (masked) for models
+        # whose own loop nesting is already deep.
+        self.stage_skip = bool(stage_skip)
         # reuse the ensemble sampler's pure theta -> log-posterior builder
         self._log_prob = EnsembleSampler(
             params, runner, likelihood, target
@@ -469,6 +476,10 @@ class NUTSSampler:
             keys = jr.split(key, max_depth)
             for depth in range(max_depth):
                 stage = make_stage(depth, keys[depth])
+                if not self.stage_skip:
+                    # unconditional: finished chains ride along masked
+                    carry = stage(carry)
+                    continue
                 # Early exit without lax.cond: a cond predicate forces a
                 # device->host sync to pick the branch (~25 ms RTT per
                 # stage per iteration through the tunnel — profiled to

@@ -268,6 +268,26 @@ class TestGradMode:
             np.asarray(g_fwd), np.asarray(g_rev), rtol=1e-12
         )
 
+    def test_stage_skip_modes_sample_identically(self, runner_1d):
+        """The 0/1-trip while_loop stage skip is a pure wall-clock
+        optimisation: a skipped stage would have been an identity on
+        all-stopped carries, so both modes must produce the SAME chains
+        bit for bit (same seeds, same schedule)."""
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        target = _make_target()
+        chains = {}
+        for skip in (True, False):
+            nuts = NUTSSampler(
+                params, runner_1d, GaussianLikelihood(), target,
+                max_tree_depth=4, stage_skip=skip,
+            )
+            chains[skip] = nuts.run(
+                n_iterations=6, n_chains=4, warmup=6, seed=5,
+                init_positions=np.full((4, 1), 1.2)
+                * (1.0 + 0.01 * np.arange(4)[:, None]),
+            ).flat_samples()
+        np.testing.assert_array_equal(chains[True], chains[False])
+
     def test_auto_selects_fwd_for_small_d(self, runner_1d):
         params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
         nuts = NUTSSampler(
