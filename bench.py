@@ -699,16 +699,16 @@ def bench_magicc_calibration(extra):
     extra["magicc_mcmc_iterations_to_rhat105"] = total
     extra["magicc_mcmc_final_rhat"] = float(r_hat)
 
-    # gradient-based NUTS over the same eight parameters; a 151-year
-    # window keeps the (huge) tree-building program's compile affordable
-    # through the remote tunnel.  48 total iterations = one 48-trip chunk.
-    # month_engine="xla": the forward-only Pallas UDEB kernel under
-    # forward-mode JVP reproducibly crashed the TPU worker process
-    # (kernel fault) — gradient paths take the plain-XLA month engine,
-    # which differentiates cleanly; forward ensembles keep the kernel.
+    # gradient-based NUTS over the same eight parameters.  Config is
+    # pinned to a bisected-safe point: the tunneled TPU worker process
+    # reproducibly crashes ("kernel fault") executing the MAGICC NUTS
+    # program at a 151-year axis with >= 16 iterations, while 101 yr x
+    # 24+24 iterations (73k model evals) and 151 yr x 8 are solid —
+    # ladder evidence in docs/performance.md.  month_engine="xla" keeps
+    # the gradient path off the forward-only Pallas kernel.
     try:
         calib_nuts = magicc_calibration(
-            years=np.arange(1850.0, 2001.0),
+            years=np.arange(1850.0, 1951.0),
             model_kwargs={"udeb_params": {"month_engine": "xla"}},
         )
         nuts = NUTSSampler(
