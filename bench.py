@@ -863,6 +863,8 @@ def main():
     # (A fault that takes the worker down entirely still hangs the next
     # dispatch — nothing client-side can time out a dead tunnel — but
     # ordinary in-process failures degrade gracefully.)
+    import sys
+
     for section in (
         bench_magicc,
         bench_ssp_cross,
@@ -870,10 +872,21 @@ def main():
         bench_calibration_at_scale,
         bench_magicc_calibration,
     ):
+        t0 = time.perf_counter()
         try:
             section(extra)
+            status = "ok"
         except Exception as exc:
             extra[f"{section.__name__}_error"] = repr(exc)[:300]
+            status = f"ERROR {type(exc).__name__}"
+        # progress to stderr (stdout carries only the final JSON line);
+        # section wall includes host-side tracing, which dominates on a
+        # single-CPU driver box even when the XLA compile cache is warm
+        print(
+            f"[bench] {section.__name__}: {status} "
+            f"({time.perf_counter() - t0:.1f}s)",
+            file=sys.stderr,
+        )
 
     north_star = 100_000 * 550 / 1.0  # 100k members, 1750-2300, <1s
     result = {

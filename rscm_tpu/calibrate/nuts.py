@@ -522,6 +522,7 @@ class NUTSSampler:
         init_positions: Optional[np.ndarray] = None,
         step_size: float = 0.1,
         mesh=None,
+        dispatch_chunk: Optional[int] = None,
     ) -> Chain:
         """Sample ``n_iterations`` post-warmup draws per chain.
 
@@ -534,6 +535,17 @@ class NUTSSampler:
         chains are independent, so each device runs its share with no
         cross-device communication (``n_chains`` must be divisible by the
         device count).
+
+        ``dispatch_chunk`` caps the iteration count per device dispatch
+        (default 64, the XLA-pipeliner-safe ceiling — see ``_finish_run``).
+        The chain is bitwise-independent of the chunking: the carry, RNG
+        streams and warmup schedule thread through at the Python level.
+        Smaller chunks trade a little dispatch overhead for smaller device
+        programs — the workaround for the tunneled-worker fault on the
+        largest MAGICC NUTS programs (docs/performance.md "Known issue"):
+        the fault tracks per-dispatch trip count (<= 16 trips executed
+        clean at every bisected scale), so ``dispatch_chunk=8`` runs
+        configurations whose single-program form crashes the worker.
         """
         import jax
         import jax.numpy as jnp
@@ -597,6 +609,7 @@ class NUTSSampler:
             return self._finish_run(
                 init_carry, run_chunk, adapt_mass, init_x, inv_mass0,
                 total_iters, warmup, n_chains, thin, rng, dev_ctx,
+                dispatch_chunk,
             )
 
         step = self._build_step(D, logp_x, n_chains)
@@ -745,11 +758,12 @@ class NUTSSampler:
         return self._finish_run(
             init_carry, run_chunk, adapt_mass, init_x, inv_mass0,
             total_iters, warmup, n_chains, thin, rng, dev_ctx,
+            dispatch_chunk,
         )
 
     def _finish_run(self, init_carry, run_chunk, adapt_mass, init_x,
                     inv_mass0, total_iters, warmup, n_chains, thin, rng,
-                    dev_ctx):
+                    dev_ctx, dispatch_chunk=None):
         """Drive the (possibly cached) jitted closures for one run."""
         import jax.numpy as jnp
         import jax.random as jr
@@ -766,6 +780,12 @@ class NUTSSampler:
         # and balancing the chunk lengths keeps it to one compile for the
         # common sizes.
         max_chunk = 64
+        if dispatch_chunk is not None:
+            if dispatch_chunk < 1:
+                raise ValueError(
+                    f"dispatch_chunk must be >= 1, got {dispatch_chunk}"
+                )
+            max_chunk = min(max_chunk, int(dispatch_chunk))
         n_chunks = -(-total_iters // max_chunk)
         chunk_len = -(-total_iters // n_chunks)
 

@@ -310,6 +310,32 @@ class TestGradMode:
                 grad_mode="backward",
             )
 
+    def test_dispatch_chunk_is_bitwise_identical(self, runner_1d):
+        """Chunked dispatch (the worker-fault workaround) must not change
+        the chain: the carry, RNG streams and warmup schedule thread
+        through at the Python level, so any ``dispatch_chunk`` produces
+        bitwise-identical draws and diagnostics."""
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        nuts = NUTSSampler(
+            params, runner_1d, GaussianLikelihood(), _make_target(),
+            max_tree_depth=5,
+        )
+        ref = nuts.run(n_iterations=15, n_chains=4, warmup=15, seed=9)
+        ref_diag = dict(nuts.last_diagnostics)
+        # 30 total iterations -> 8 uneven dispatches of <= 4 trips
+        chunked = nuts.run(
+            n_iterations=15, n_chains=4, warmup=15, seed=9, dispatch_chunk=4
+        )
+        np.testing.assert_array_equal(
+            chunked.flat_samples(discard=0), ref.flat_samples(discard=0)
+        )
+        assert nuts.last_diagnostics["n_model_evals"] == ref_diag["n_model_evals"]
+        assert nuts.last_diagnostics["n_divergences"] == ref_diag["n_divergences"]
+        with pytest.raises(ValueError, match="dispatch_chunk"):
+            nuts.run(
+                n_iterations=2, n_chains=4, warmup=2, seed=9, dispatch_chunk=0
+            )
+
     def test_explicit_modes_sample_valid_chains(self, runner_1d):
         params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
         means = {}
