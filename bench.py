@@ -39,6 +39,7 @@ itself publishes no benchmark numbers (BASELINE.json "published": {}).
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -430,6 +431,35 @@ def bench_ssp_cross(extra):
     extra["ssp_10k_x8_member_years_per_sec"] = batch * (n_years - 1) / med
 
 
+def _device_alive(timeout_s: float = 90.0) -> bool:
+    """Probe the device with a trivial dispatch under a watchdog.
+
+    A section fault that kills the tunneled TPU worker leaves every later
+    dispatch hanging on a dead tunnel; nothing client-side can time out a
+    hung call, so the probe runs in a daemon thread and the watchdog is
+    the join timeout.  Used after a section failure to decide whether the
+    remaining sections can run at all.
+    """
+    import threading
+
+    ok = []
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            np.asarray(jax.jit(lambda x: x + 1.0)(jnp.zeros(8))[0])
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def bench_tpu_golden(extra):
     """On-device correctness: golden scenarios executed on the TPU in f32.
 
@@ -446,8 +476,6 @@ def bench_tpu_golden(extra):
 
     Any violation raises -> bench exits nonzero.
     """
-    import sys
-
     sys.path.insert(0, str(os.path.join(os.path.dirname(__file__), "tests")))
     from regression.helpers import (
         fourbox_global_mean,
@@ -860,18 +888,17 @@ def main():
     # docs/performance.md "Known issue"); a transient fault in one section
     # must not zero the whole round's bench, so each section records its
     # failure under ``extra["<section>_error"]`` and the run carries on.
-    # (A fault that takes the worker down entirely still hangs the next
-    # dispatch — nothing client-side can time out a dead tunnel — but
-    # ordinary in-process failures degrade gracefully.)
-    import sys
-
-    for section in (
+    # After a failure the device is probed with a watchdog: if the worker
+    # is down, the remaining sections are recorded as skipped instead of
+    # hanging forever on a dead tunnel.
+    sections = [
         bench_magicc,
         bench_ssp_cross,
         bench_mcmc,
         bench_calibration_at_scale,
         bench_magicc_calibration,
-    ):
+    ]
+    for i, section in enumerate(sections):
         t0 = time.perf_counter()
         try:
             section(extra)
@@ -879,29 +906,130 @@ def main():
         except Exception as exc:
             extra[f"{section.__name__}_error"] = repr(exc)[:300]
             status = f"ERROR {type(exc).__name__}"
-        # progress to stderr (stdout carries only the final JSON line);
-        # section wall includes host-side tracing, which dominates on a
-        # single-CPU driver box even when the XLA compile cache is warm
-        print(
-            f"[bench] {section.__name__}: {status} "
-            f"({time.perf_counter() - t0:.1f}s)",
-            file=sys.stderr,
-        )
+            if not _device_alive():
+                remaining = [s.__name__ for s in sections[i + 1 :]]
+                for name in remaining:
+                    extra[f"{name}_error"] = "skipped: worker down"
+                print(
+                    f"[bench] device probe failed after {section.__name__}; "
+                    f"skipping {remaining}",
+                    file=sys.stderr,
+                )
+                break
+        finally:
+            # progress to stderr (stdout carries only the final JSON line);
+            # section wall includes host-side tracing, which dominates on a
+            # single-CPU driver box even when the XLA compile cache is warm
+            print(
+                f"[bench] {section.__name__}: {status} "
+                f"({time.perf_counter() - t0:.1f}s)",
+                file=sys.stderr,
+            )
 
     north_star = 100_000 * 550 / 1.0  # 100k members, 1750-2300, <1s
-    result = {
+    emit_results(value, value / north_star, extra)
+
+
+#: keys lifted into the final stdout line's ``extra`` — the driver keeps
+#: only the last 2000 chars of stdout, so this list is the round's always-
+#: auditable summary; everything else lives in the committed BENCH_full.json
+SUMMARY_KEYS = (
+    "device",
+    "member_years_per_sec_10k",
+    "member_years_per_sec_100k",
+    "wall_s_100k_members_551yr",
+    "magicc_10k_member_years_per_sec",
+    "magicc_100k_member_years_per_sec",
+    "magicc_single_550yr_wall_s",
+    "magicc_100k_550yr_wall_s",
+    "magicc_100k_550yr_member_years_per_sec",
+    "magicc_100k_550yr_hbm_roofline_frac",
+    "magicc_100k_compile_s",
+    "magicc_permafrost_slr_10k_member_years_per_sec",
+    "magicc_permafrost_slr_100k_member_years_per_sec",
+    "ssp_10k_x8_member_years_per_sec",
+    "mcmc_device_iterations_per_sec",
+    "mcmc_1024walkers_model_evals_per_sec",
+    "nuts_64chains_model_evals_per_sec",
+    "magicc_mcmc_model_evals_per_sec",
+    "magicc_mcmc_rhat_target_reached",
+    "magicc_mcmc_final_rhat",
+    "magicc_mcmc_wall_to_rhat_s",
+    "magicc_mcmc_iterations_run",
+    "magicc_mcmc_map_wall_s",
+    "magicc_nuts_years",
+    "magicc_nuts_model_evals_per_sec",
+    "magicc_nuts_64chains_wall_s",
+    "magicc_nuts_final_rhat",
+    "magicc_nuts_divergences",
+    "tpu_golden_drift_ocean10_temperature",
+    "tpu_golden_ghg01_max_rel_vs_magicc7",
+)
+
+
+def _compact(v):
+    """Round floats to 6 significant digits to keep the final line short."""
+    if isinstance(v, float):
+        return float(f"{v:.6g}")
+    return v
+
+
+def emit_results(value, vs_baseline, extra):
+    """Write the full record to BENCH_full.json; print a compact final line.
+
+    The driver records only the tail of stdout and parses the last line as
+    JSON, so the stdout line carries a curated summary (always < 2000
+    chars) and points at the committed full artifact.  Sections that
+    faulted are surfaced in ``sections_with_errors`` so a failure can
+    never silently vanish from the round record.
+    """
+    full = {
         "metric": "ensemble_member_years_per_sec_10k_members",
         "value": value,
         "unit": "member-years/s",
-        "vs_baseline": value / north_star,
+        "vs_baseline": vs_baseline,
         "extra": extra,
     }
-    print(json.dumps(result))
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except Exception as exc:  # emission must never kill the bench
+        extra["bench_full_write_error"] = repr(exc)[:200]
+
+    summary = {k: _compact(extra[k]) for k in SUMMARY_KEYS if k in extra}
+    summary["sections_with_errors"] = sorted(
+        k[: -len("_error")] for k in extra if k.endswith("_error")
+    )
+    line = json.dumps(
+        {
+            "metric": full["metric"],
+            "value": _compact(value),
+            "unit": full["unit"],
+            "vs_baseline": _compact(vs_baseline),
+            "extra": summary,
+            "full_results": "BENCH_full.json",
+        }
+    )
+    if len(line) > 1900:  # hard guarantee: the driver tail must hold it
+        line = json.dumps(
+            {
+                "metric": full["metric"],
+                "value": _compact(value),
+                "unit": full["unit"],
+                "vs_baseline": _compact(vs_baseline),
+                "extra": {
+                    "sections_with_errors": summary["sections_with_errors"]
+                },
+                "full_results": "BENCH_full.json",
+            }
+        )
+    print(line)
 
 
 if __name__ == "__main__":
-    import sys
-
     if "--smoke" in sys.argv:
         smoke()
     else:

@@ -781,11 +781,54 @@ class NUTSSampler:
         # common sizes.
         max_chunk = 64
         if dispatch_chunk is not None:
+            # exact-int check: a float like 2.7 silently truncating to 2
+            # would surprise users tuning this knob against the
+            # worker-fault ladder in docs/performance.md
+            if isinstance(dispatch_chunk, bool) or not (
+                isinstance(dispatch_chunk, (int, np.integer))
+                or (
+                    isinstance(dispatch_chunk, float)
+                    and dispatch_chunk == int(dispatch_chunk)
+                )
+            ):
+                raise TypeError(
+                    f"dispatch_chunk must be an integer, got "
+                    f"{dispatch_chunk!r}"
+                )
             if dispatch_chunk < 1:
                 raise ValueError(
                     f"dispatch_chunk must be >= 1, got {dispatch_chunk}"
                 )
+            if dispatch_chunk > 64:
+                import warnings
+
+                warnings.warn(
+                    f"dispatch_chunk={int(dispatch_chunk)} exceeds the "
+                    "XLA-pipeliner-safe ceiling of 64 scan trips per "
+                    "dispatch and is clamped to 64 "
+                    "(see nuts.py:_finish_run)",
+                    stacklevel=3,
+                )
             max_chunk = min(max_chunk, int(dispatch_chunk))
+        else:
+            # TPU auto-fence: the tunneled v5e worker reproducibly dies
+            # ("kernel fault", ~10 min outage) executing the largest MAGICC
+            # NUTS programs at >= 16 trips per dispatch, while every
+            # bisected configuration at <= 8 trips runs clean
+            # (docs/performance.md "Known issue").  Chunking is
+            # bitwise-invisible to the chain (the carry, RNG streams and
+            # warmup schedule thread through at the Python level,
+            # tests/test_nuts.py::test_dispatch_chunk_is_bitwise_identical)
+            # and chunk dispatches pipeline without host syncs, so the
+            # safe trip count is the right TPU default — no user should
+            # hit a 10-minute worker outage because they ran the model
+            # they actually care about.  Pass dispatch_chunk explicitly
+            # to override.
+            from rscm_tpu.utils.target import target_platform
+
+            with dev_ctx():
+                if target_platform() == "tpu":
+                    max_chunk = 8
         n_chunks = -(-total_iters // max_chunk)
         chunk_len = -(-total_iters // n_chunks)
 
