@@ -81,8 +81,19 @@ class WalkerInit:
         return WalkerInit("FromPrior")
 
     @staticmethod
-    def ball(center, radius: float) -> "WalkerInit":
-        return WalkerInit("Ball", center=list(center), radius=float(radius))
+    def ball(center, radius) -> "WalkerInit":
+        """Walkers in a uniform box around ``center``.
+
+        ``radius`` is a scalar (the reference's ``Ball`` semantics,
+        ``sampler/init.rs:12-60``) or a per-parameter array — calibration
+        parameters rarely share a scale, so a per-dimension radius (e.g.
+        a fraction of each prior's span around a MAP estimate) is the
+        form that actually initialises every dimension sensibly.
+        """
+        radius = np.asarray(radius, dtype=np.float64)
+        if radius.ndim == 0:
+            radius = float(radius)
+        return WalkerInit("Ball", center=list(center), radius=radius)
 
     @staticmethod
     def explicit(positions) -> "WalkerInit":
@@ -97,8 +108,14 @@ class WalkerInit:
                     f"Ball center length {len(self.center)} does not match "
                     f"parameter count {len(params)}"
                 )
+            radius = np.asarray(self.radius)
+            if radius.ndim == 1 and radius.shape[0] != len(params):
+                raise ValueError(
+                    f"Ball radius length {radius.shape[0]} does not match "
+                    f"parameter count {len(params)}"
+                )
             offsets = rng.random((n_walkers, len(params))) - 0.5
-            return np.asarray(self.center) + offsets * self.radius
+            return np.asarray(self.center) + offsets * radius
         if self.kind == "Explicit":
             pos = self.positions
             if pos.shape[0] != n_walkers:

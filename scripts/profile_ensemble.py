@@ -57,6 +57,8 @@ def main() -> None:
     ap.add_argument("--members", type=int, default=100_000)
     ap.add_argument("--years", type=int, default=251)
     ap.add_argument("--flagship", action="store_true")
+    ap.add_argument("--permafrost", action="store_true",
+                    help="profile the permafrost+SLR extended MAGICC graph")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default="/tmp/jaxprof")
     args = ap.parse_args()
@@ -73,6 +75,21 @@ def main() -> None:
         model = bench.build_flagship(n_years=args.years)
         params_spec = {"TwoLayer.lambda0": rng.uniform(0.8, 1.8, n)}
         out_vars = ["Surface Temperature"]
+    elif args.permafrost:
+        from rscm_tpu.magicc.coupled import build_magicc_model
+
+        years = np.arange(1750.0, 1750.0 + args.years)
+        model = build_magicc_model(
+            years=years,
+            ocean_params={"history_dtype": "bfloat16"},
+            include_permafrost=True,
+            include_slr=True,
+        )
+        params_spec = {
+            "ClimateUDEB.ecs": rng.uniform(1.8, 5.5, n),
+            "Permafrost.arctic_amplification": rng.uniform(1.5, 2.5, n),
+        }
+        out_vars = ["Surface Temperature", "Sea Level Rise"]
     else:
         from rscm_tpu.magicc.coupled import build_magicc_model
 

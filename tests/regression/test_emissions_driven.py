@@ -368,6 +368,84 @@ def test_emissions_driven_compiled_matches_host(emissions_setup):
         )
 
 
+def test_ch4_inverse_emissions_consistency(emissions_setup):
+    """Second scenario-level validation of the default CH4 scheme: drive
+    the golden concentrations BACKWARDS.
+
+    Mirrors the reference's CH4 natural-emissions inversion
+    (``/root/reference/crates/rscm-magicc/src/chemistry/ch4.rs:75-307``,
+    the budget-closure path): for every year of the Fortran-MAGICC7
+    golden record, invert the default (auto-selected magicc7-mode)
+    one-step update for the total emission flux that exactly reproduces
+    the next year's golden concentration, and attribute the residual
+    beyond the anthropogenic record to natural sources.  This exercises
+    the scheme's lifetime model over the ENTIRE 1750-2100 record —
+    including the pre-2015 span the forward test covers only via
+    concentration prescription — and fails if the OH-feedback lifetime
+    is biased (the bias would surface as trending/implausible implied
+    natural emissions).
+
+    Measured: implied naturals 155-243 Mt/yr (mean 192, std 19), first
+    budget-decade mean within 1.0% of the scheme's own budget-closure
+    value, pre-2015 decade means within +-8% of their mean.
+    """
+    years, emissions, initial_conditions, config, expected = emissions_setup
+    ch4 = np.asarray(expected["ch4"], dtype=np.float64)
+    temp = np.asarray(expected["temp"], dtype=np.float64)
+    anthro = np.asarray(emissions["Emissions|CH4"][0], dtype=np.float64)
+    nox = np.asarray(emissions["Emissions|NOx"][0], dtype=np.float64)
+    co = np.asarray(emissions["Emissions|CO"][0], dtype=np.float64)
+    nmvoc = np.asarray(emissions["Emissions|NMVOC"][0], dtype=np.float64)
+
+    comp = CH4Chemistry.magicc7(
+        years, ch4, anthro, nox, co, nmvoc, temperatures=temp
+    )
+
+    def step(t, e):
+        c, _ = comp._solve_concentration_magicc7(
+            ch4[t], e, temp[t], nox[t], co[t], nmvoc[t]
+        )
+        return float(c)
+
+    implied = np.empty(len(years) - 1)
+    for t in range(len(years) - 1):
+        target = ch4[t + 1]
+        e0, e1 = anthro[t], anthro[t] + 50.0
+        f0, f1 = step(t, e0) - target, step(t, e1) - target
+        for _ in range(30):  # secant; the update is nearly linear in E
+            if abs(f1) < 1e-10 or f1 == f0:
+                break
+            e2 = e1 - f1 * (e1 - e0) / (f1 - f0)
+            e0, f0 = e1, f1
+            e1, f1 = e2, step(t, e2) - target
+        assert abs(f1) < 1e-6, f"inversion failed to close at year {years[t]}"
+        wetland = comp.wetland_slope * max(temp[t] - comp.temp_reference, 0.0)
+        implied[t] = (e1 - anthro[t]) + comp.natural_emissions + wetland
+
+    # physically plausible natural source strength, every single year
+    assert implied.min() > 140.0 and implied.max() < 260.0, (
+        f"implied natural CH4 outside plausible band: "
+        f"[{implied.min():.1f}, {implied.max():.1f}] Mt/yr"
+    )
+    # the scheme's own budget-closure value is consistent with the
+    # year-by-year inversion over the same decade
+    rel = abs(implied[:10].mean() - comp.natural_emissions) / comp.natural_emissions
+    assert rel < 0.03, (
+        f"budget-closure naturals {comp.natural_emissions:.1f} vs inverted "
+        f"first-decade mean {implied[:10].mean():.1f} (rel {rel:.1%})"
+    )
+    # stationarity over the historical record: a biased lifetime model
+    # would show up as a trend in the implied naturals
+    pre2015 = implied[: int(np.searchsorted(years, 2015.0))]
+    decades = np.array(
+        [pre2015[i : i + 10].mean() for i in range(0, len(pre2015) - 10, 10)]
+    )
+    drift = np.abs(decades - pre2015.mean()) / pre2015.mean()
+    assert drift.max() < 0.10, (
+        f"implied natural CH4 drifts {drift.max():.1%} across pre-2015 decades"
+    )
+
+
 def test_emissions_driven_magicc7_late_start(emissions_setup):
     """Second-scenario validation of the MAGICC7-mode chemistry: the same
     SSP245 golden pathway entered at 1950 — a genuinely different

@@ -228,6 +228,50 @@ class TestCompiledRunner:
         np.testing.assert_allclose(host, device, rtol=1e-8)
 
 
+class TestWalkerInit:
+    def test_ball_scalar_radius(self):
+        from rscm_tpu.calibrate import ParameterSet, Uniform, WalkerInit
+
+        params = ParameterSet().add("a", Uniform(0.0, 10.0)).add(
+            "b", Uniform(-1.0, 1.0)
+        )
+        rng = np.random.default_rng(0)
+        pos = WalkerInit.ball([5.0, 0.0], 0.1).initialize(64, params, rng)
+        assert pos.shape == (64, 2)
+        assert np.all(np.abs(pos - [5.0, 0.0]) <= 0.05 + 1e-12)
+
+    def test_ball_per_dimension_radius(self):
+        """Array radius: each dimension gets its own box half-width (the
+        form MAP-ball initialisation uses — parameters rarely share a
+        scale)."""
+        from rscm_tpu.calibrate import ParameterSet, Uniform, WalkerInit
+
+        params = ParameterSet().add("a", Uniform(0.0, 10.0)).add(
+            "b", Uniform(-1.0, 1.0)
+        )
+        rng = np.random.default_rng(0)
+        pos = WalkerInit.ball([5.0, 0.0], [2.0, 0.01]).initialize(
+            256, params, rng
+        )
+        assert np.all(np.abs(pos[:, 0] - 5.0) <= 1.0 + 1e-12)
+        assert np.all(np.abs(pos[:, 1]) <= 0.005 + 1e-12)
+        # each dimension actually fills its own scale
+        assert np.ptp(pos[:, 0]) > 1.5
+        assert np.ptp(pos[:, 1]) > 0.007
+
+    def test_ball_radius_length_mismatch_raises(self):
+        from rscm_tpu.calibrate import ParameterSet, Uniform, WalkerInit
+
+        params = ParameterSet().add("a", Uniform(0.0, 10.0)).add(
+            "b", Uniform(-1.0, 1.0)
+        )
+        rng = np.random.default_rng(0)
+        with pytest.raises(ValueError, match="radius length"):
+            WalkerInit.ball([5.0, 0.0], [1.0, 2.0, 3.0]).initialize(
+                8, params, rng
+            )
+
+
 class TestEnsembleSampler:
     def test_device_sampler_recovers_parameter(self, compiled_runner):
         params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
