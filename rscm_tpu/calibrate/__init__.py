@@ -27,7 +27,14 @@ from .model_runner import (
     SensitivityAnalyzer,
 )
 from .chain import Chain
-from .sampler import EnsembleSampler, ProgressInfo, SamplerState, StretchMove, WalkerInit
+from .sampler import (
+    DEMove,
+    EnsembleSampler,
+    ProgressInfo,
+    SamplerState,
+    StretchMove,
+    WalkerInit,
+)
 from .nuts import NUTSSampler
 from .point_estimator import (
     AdamOptimizer,
@@ -84,6 +91,7 @@ __all__ = [
     "SamplerState",
     "SensitivityAnalyzer",
     "StretchMove",
+    "DEMove",
     "Target",
     "Uniform",
     "VariableOutput",

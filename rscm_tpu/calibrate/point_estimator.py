@@ -14,6 +14,7 @@ gradient-based optimisation through the compiled model program.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from enum import Enum
 from typing import List, Optional
@@ -147,6 +148,66 @@ class PointEstimator:
 
         return negative_log_prob
 
+    def laplace_covariance(self, theta, rel_step: float = 1e-4):
+        """Laplace-approximation covariance ``H(theta)^-1`` at a MAP point.
+
+        The Hessian of the negative log posterior is built from central
+        finite differences of the TRACED gradient — ``2 D`` dispatches of
+        the same forward-mode value+grad program class the Adam path
+        compiles.  (An exact nested ``jax.hessian`` through a
+        MAGICC-length time scan is a worker-killing program on the
+        tunneled TPU; FD-of-analytic-gradient is numerically ample for a
+        walker-init covariance.)
+
+        Degenerate directions are handled for the init use case: the
+        Hessian is symmetrized, eigenvalues are floored at a curvature
+        corresponding to a std of 1/4 of the prior span (flat posterior
+        directions otherwise invert to near-infinite variance), and the
+        per-dimension std is capped at 1/4 span.  Use with
+        :meth:`WalkerInit.gaussian <rscm_tpu.calibrate.sampler.WalkerInit.gaussian>`.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        objective = self._traced_objective(EstimateKind.MAP)
+        if objective is None:
+            raise ValueError("laplace_covariance requires a CompiledModelRunner")
+        dtype = self.runner.program.dtype
+        theta = np.asarray(theta, dtype=np.float64)
+        D = theta.shape[0]
+        basis = jnp.eye(D, dtype=dtype)
+
+        @jax.jit
+        def grad_fn(q):
+            return jax.vmap(lambda e: jax.jvp(objective, (q,), (e,))[1])(basis)
+
+        lower, upper = map(np.asarray, self.bounds())
+        span = np.where(np.isfinite(upper - lower), upper - lower, 1.0)
+        h = rel_step * span
+        rows = []
+        for j in range(D):
+            e = np.zeros(D)
+            e[j] = h[j]
+            g_plus = np.asarray(grad_fn(jnp.asarray(theta + e, dtype=dtype)))
+            g_minus = np.asarray(grad_fn(jnp.asarray(theta - e, dtype=dtype)))
+            rows.append((g_plus - g_minus) / (2.0 * h[j]))
+        hess = np.asarray(rows, dtype=np.float64)
+        hess = 0.5 * (hess + hess.T)
+
+        # scale-free eigen-floor: work in span units so one badly-scaled
+        # parameter cannot dominate the spectrum
+        scale = np.diag(span)
+        hess_u = scale @ hess @ scale  # curvature per unit span
+        eigval, eigvec = np.linalg.eigh(hess_u)
+        floor = 1.0 / (0.25**2)  # std of 1/4 span in span units
+        eigval = np.maximum(eigval, floor)
+        cov_u = (eigvec / eigval) @ eigvec.T
+        cov = scale @ cov_u @ scale
+        # cap per-dimension std at 1/4 of the prior span
+        std = np.sqrt(np.diag(cov))
+        shrink = np.minimum(1.0, (0.25 * span) / np.maximum(std, 1e-300))
+        return cov * np.outer(shrink, shrink)
+
     def optimize(self, optimizer: "Optimizer", n_samples=None, **kwargs) -> PointEstimate:
         """Run an optimizer; accepts the reference's positional
         ``optimize(Optimizer.RandomSearch, n_samples)`` calling style."""
@@ -214,11 +275,30 @@ class AdamOptimizer(Optimizer):
 
     def __init__(self, learning_rate: float = 0.05, n_steps: int = 200,
                  kind: EstimateKind = EstimateKind.MAP,
-                 fwd_threshold: int = 32):
+                 fwd_threshold: int = 32,
+                 dispatch_chunk: Optional[int] = None):
         self.learning_rate = learning_rate
         self.n_steps = n_steps
         self.kind = kind
         self.fwd_threshold = int(fwd_threshold)
+        if dispatch_chunk is not None:
+            # exact-int check, same contract as NUTSSampler.run
+            if isinstance(dispatch_chunk, bool) or not (
+                isinstance(dispatch_chunk, (int, np.integer))
+                or (
+                    isinstance(dispatch_chunk, float)
+                    and dispatch_chunk == int(dispatch_chunk)
+                )
+            ):
+                raise TypeError(
+                    f"dispatch_chunk must be an integer, got {dispatch_chunk!r}"
+                )
+            if dispatch_chunk < 1:
+                raise ValueError(
+                    f"dispatch_chunk must be >= 1, got {dispatch_chunk}"
+                )
+            dispatch_chunk = int(dispatch_chunk)
+        self.dispatch_chunk = dispatch_chunk
 
     def optimize(self, estimator: PointEstimator, x0=None) -> PointEstimate:
         import jax
@@ -266,32 +346,54 @@ class AdamOptimizer(Optimizer):
 
         opt = optax.adam(self.learning_rate)
 
-        @jax.jit
-        def run(theta):
-            def body(carry, _):
-                theta, opt_state, best_theta, best_value = carry
-                value, grads = value_and_grad(theta)
-                grads = jnp.where(jnp.isfinite(grads), grads, 0.0)
-                better = value < best_value
-                best_theta = jnp.where(better, theta, best_theta)
-                best_value = jnp.where(better, value, best_value)
-                updates, opt_state = opt.update(grads, opt_state)
-                theta = optax.apply_updates(theta, updates)
-                theta = jnp.clip(theta, lo_clip, hi_clip)
-                return (theta, opt_state, best_theta, best_value), value
+        def body(carry, _):
+            theta, opt_state, best_theta, best_value = carry
+            value, grads = value_and_grad(theta)
+            grads = jnp.where(jnp.isfinite(grads), grads, 0.0)
+            better = value < best_value
+            best_theta = jnp.where(better, theta, best_theta)
+            best_value = jnp.where(better, value, best_value)
+            updates, opt_state = opt.update(grads, opt_state)
+            theta = optax.apply_updates(theta, updates)
+            theta = jnp.clip(theta, lo_clip, hi_clip)
+            return (theta, opt_state, best_theta, best_value), value
 
-            init = (theta0, opt.init(theta0), theta0, jnp.asarray(np.inf, dtype))
-            (theta, _, best_theta, best_value), values = jax.lax.scan(
-                body, init, None, length=self.n_steps
-            )
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def run_chunk(carry, length):
+            return jax.lax.scan(body, carry, None, length=length)
+
+        @jax.jit
+        def finish(carry):
             # the final iterate may beat every recorded best
+            theta, _, best_theta, best_value = carry
             final_value, _ = value_and_grad(theta)
             better = final_value < best_value
             best_theta = jnp.where(better, theta, best_theta)
             best_value = jnp.where(better, final_value, best_value)
             return best_theta, best_value
 
-        best_theta, best_value = run(theta0)
+        # Cap scan trips per device dispatch.  The tunneled TPU worker
+        # reproducibly dies ("kernel fault", ~10 min outage) executing a
+        # single dispatch holding hundreds of gradient steps through a
+        # MAGICC-sized graph — the same worker-fault ladder the NUTS
+        # sampler fences (nuts.py:_finish_run, docs/performance.md "Known
+        # issue").  Chunking is bitwise-invisible: the carry (theta, Adam
+        # state, best-so-far) threads through at the Python level and the
+        # chunk dispatches pipeline without host syncs.  Chunk lengths are
+        # balanced to at most two distinct values, so a run costs at most
+        # two compiles.
+        chunk = self.dispatch_chunk
+        if chunk is None:
+            chunk = 16 if jax.default_backend() != "cpu" else self.n_steps
+        chunk = max(1, min(chunk, self.n_steps))
+        n_chunks = -(-self.n_steps // chunk)
+        base, rem = divmod(self.n_steps, n_chunks)
+        lengths = [base + 1] * rem + [base] * (n_chunks - rem)
+
+        carry = (theta0, opt.init(theta0), theta0, jnp.asarray(np.inf, dtype))
+        for length in lengths:
+            carry, _ = run_chunk(carry, length)
+        best_theta, best_value = finish(carry)
         best_value = float(best_value)
 
         final = estimator.evaluate(np.asarray(best_theta, dtype=np.float64))

@@ -33,6 +33,7 @@ from .target import Target
 
 __all__ = [
     "StretchMove",
+    "DEMove",
     "WalkerInit",
     "SamplerState",
     "ProgressInfo",
@@ -66,9 +67,55 @@ class StretchMove:
         log_ratio = (n_params - 1.0) * np.log(z) + (log_prob_new - log_prob_old)
         return min(np.exp(log_ratio), 1.0)
 
+    def signature(self):
+        """Hashable device-engine cache key component."""
+        return ("stretch", self.a)
+
+
+class DEMove:
+    """Differential-evolution proposal (ter Braak 2006; emcee's ``DEMove``).
+
+    Proposal ``x' = x + gamma (x_a - x_b) + sigma N(0, I)`` with ``x_a``,
+    ``x_b`` two DISTINCT walkers drawn from the complementary half.  The
+    difference vector is distributed like the walker cloud itself, so
+    proposals are automatically scaled and oriented along the posterior's
+    correlated and flat directions — where the stretch move's 1-d line
+    proposals mix diffusively (on the 8-d MAGICC posterior, whose
+    gas-exchange direction is nearly flat across its prior, stretch
+    stalls near R-hat 1.8 at ~0.09 acceptance; DE converges — measured
+    ladder in docs/performance.md).  ``gamma`` defaults to the
+    ``2.38 / sqrt(2 D)`` random-walk optimum at run time; with
+    probability ``gamma1_prob`` a full ``gamma = 1`` proposal is made
+    instead (ter Braak's mode-jumping trick).  The proposal is symmetric,
+    so acceptance is plain Metropolis — no stretch Jacobian term.
+
+    Beyond the reference (``sampler/moves.rs`` implements only the
+    stretch move); the ensemble-splitting schedule, state, checkpointing
+    and diagnostics are shared with :class:`StretchMove` runs.
+    """
+
+    def __init__(self, gamma: Optional[float] = None,
+                 gamma1_prob: float = 0.1, sigma: float = 1e-5):
+        if not 0.0 <= gamma1_prob <= 1.0:
+            raise ValueError(f"gamma1_prob must be in [0, 1], got {gamma1_prob}")
+        if sigma < 0.0:
+            raise ValueError(f"sigma must be >= 0, got {sigma}")
+        self.gamma = None if gamma is None else float(gamma)
+        self.gamma1_prob = float(gamma1_prob)
+        self.sigma = float(sigma)
+
+    def resolve_gamma(self, n_params: int) -> float:
+        if self.gamma is not None:
+            return self.gamma
+        return 2.38 / np.sqrt(2.0 * n_params)
+
+    def signature(self):
+        """Hashable device-engine cache key component."""
+        return ("de", self.gamma, self.gamma1_prob, self.sigma)
+
 
 class WalkerInit:
-    """FromPrior / Ball(center, radius) / Explicit(positions)."""
+    """FromPrior / Ball / Gaussian / Explicit initial walker positions."""
 
     def __init__(self, kind: str, center=None, radius=None, positions=None):
         self.kind = kind
@@ -96,6 +143,27 @@ class WalkerInit:
         return WalkerInit("Ball", center=list(center), radius=radius)
 
     @staticmethod
+    def gaussian(center, cov) -> "WalkerInit":
+        """Walkers drawn from ``N(center, cov)``, clipped just inside the
+        prior support.
+
+        The natural companion of a Laplace approximation: draw the
+        ensemble from ``N(theta_MAP, H^-1)`` (see
+        :meth:`PointEstimator.laplace_covariance <rscm_tpu.calibrate.point_estimator.PointEstimator.laplace_covariance>`)
+        and the walker cloud starts with the posterior's own scales AND
+        correlations — an isotropic ball must first diffuse into shape
+        along every flat/correlated direction before it can mix.
+        """
+        cov = np.atleast_2d(np.asarray(cov, dtype=np.float64))
+        center = np.asarray(center, dtype=np.float64)
+        if cov.shape != (center.shape[0], center.shape[0]):
+            raise ValueError(
+                f"gaussian init cov shape {cov.shape} does not match "
+                f"center length {center.shape[0]}"
+            )
+        return WalkerInit("Gaussian", center=list(center), radius=cov)
+
+    @staticmethod
     def explicit(positions) -> "WalkerInit":
         return WalkerInit("Explicit", positions=np.asarray(positions, dtype=np.float64))
 
@@ -116,6 +184,23 @@ class WalkerInit:
                 )
             offsets = rng.random((n_walkers, len(params))) - 0.5
             return np.asarray(self.center) + offsets * radius
+        if self.kind == "Gaussian":
+            if len(self.center) != len(params):
+                raise ValueError(
+                    f"Gaussian init center length {len(self.center)} does "
+                    f"not match parameter count {len(params)}"
+                )
+            draws = rng.multivariate_normal(
+                np.asarray(self.center), self.radius, size=n_walkers,
+                method="svd",
+            )
+            # clip just inside the support: a draw outside a bounded prior
+            # would start at -inf posterior
+            lower, upper = map(np.asarray, params.bounds())
+            span = np.where(np.isfinite(upper - lower), upper - lower, 1.0)
+            lo = np.where(np.isfinite(lower), lower + 1e-9 * span, -np.inf)
+            hi = np.where(np.isfinite(upper), upper - 1e-9 * span, np.inf)
+            return np.clip(draws, lo, hi)
         if self.kind == "Explicit":
             pos = self.positions
             if pos.shape[0] != n_walkers:
@@ -188,17 +273,40 @@ class EnsembleSampler:
         runner: ModelRunner,
         likelihood: LikelihoodFn,
         target: Target,
+        move=None,
     ):
         self.params = params
         self.runner = runner
         self.likelihood = likelihood
         self.target = target
-        self.stretch = StretchMove()
+        if move is not None and not isinstance(move, (StretchMove, DEMove)):
+            raise TypeError(
+                f"move must be a StretchMove or DEMove, got {type(move).__name__}"
+            )
+        self.move = move if move is not None else StretchMove()
         self.default_n_walkers = max(2 * len(params), 32)
         self._device_log_prob = None
 
+    @property
+    def stretch(self) -> StretchMove:
+        """The stretch move when active (reference-API compat accessor)."""
+        if not isinstance(self.move, StretchMove):
+            raise AttributeError(
+                "sampler is configured with a non-stretch move; use .move"
+            )
+        return self.move
+
     def with_stretch_param(self, a: float) -> "EnsembleSampler":
-        self.stretch = StretchMove(a)
+        self.move = StretchMove(a)
+        return self
+
+    def with_move(self, move) -> "EnsembleSampler":
+        """Set the proposal move (:class:`StretchMove` or :class:`DEMove`)."""
+        if not isinstance(move, (StretchMove, DEMove)):
+            raise TypeError(
+                f"move must be a StretchMove or DEMove, got {type(move).__name__}"
+            )
+        self.move = move
         return self
 
     # -- posterior -------------------------------------------------------------
@@ -441,17 +549,36 @@ class EnsembleSampler:
 
     def _update_group_host(self, state, active, complement, rng):
         comp_positions = state.positions[list(complement)]
+        n_comp = len(comp_positions)
         proposals, zs = [], []
-        for i in active:
-            z = self.stretch.sample_z(rng)
-            comp = comp_positions[rng.integers(len(comp_positions))]
-            proposals.append(comp + z * (state.positions[i] - comp))
-            zs.append(z)
+        if isinstance(self.move, DEMove):
+            gamma0 = self.move.resolve_gamma(state.n_params())
+            for i in active:
+                ia = rng.integers(n_comp)
+                ib = (ia + 1 + rng.integers(n_comp - 1)) % n_comp
+                gamma = 1.0 if rng.random() < self.move.gamma1_prob else gamma0
+                step = gamma * (comp_positions[ia] - comp_positions[ib])
+                noise = self.move.sigma * rng.standard_normal(state.n_params())
+                proposals.append(state.positions[i] + step + noise)
+                zs.append(None)  # symmetric proposal: no Jacobian term
+        else:
+            for i in active:
+                z = self.stretch.sample_z(rng)
+                comp = comp_positions[rng.integers(n_comp)]
+                proposals.append(comp + z * (state.positions[i] - comp))
+                zs.append(z)
         log_probs_new = self.log_posterior_batch(proposals)
         for i, proposal, z, lp_new in zip(active, proposals, zs, log_probs_new):
-            accept_prob = self.stretch.acceptance_probability(
-                z, state.n_params(), state.log_probs[i], lp_new
-            )
+            if z is None:
+                accept_prob = (
+                    min(np.exp(min(lp_new - state.log_probs[i], 0.0)), 1.0)
+                    if np.isfinite(lp_new)
+                    else 0.0
+                )
+            else:
+                accept_prob = self.stretch.acceptance_probability(
+                    z, state.n_params(), state.log_probs[i], lp_new
+                )
             state.n_proposed[i] += 1
             if rng.random() < accept_prob:
                 state.positions[i] = proposal
@@ -471,17 +598,27 @@ class EnsembleSampler:
         dtype = self.runner.program.dtype
         n_walkers, n_params = state.positions.shape
         half = n_walkers // 2
-        a = self.stretch.a
+        move = self.move
+        is_de = isinstance(move, DEMove)
+        if is_de:
+            gamma0 = move.resolve_gamma(n_params)
+            gamma1_prob = move.gamma1_prob
+            de_sigma = move.sigma
+        else:
+            a = move.a
 
-        # one jitted scan per (shape, mesh) configuration, cached across
-        # run() calls — a fresh closure each call would retrace every time
+        # one jitted scan per (shape, move, mesh) configuration, cached
+        # across run() calls — a fresh closure each call would retrace
         mesh_key = None
         if mesh is not None:
             mesh_key = (
                 mesh.axis_names,
                 tuple(d.id for d in mesh.devices.flat),
             )
-        cache_key = (n_walkers, n_params, str(np.dtype(dtype)), a, mesh_key)
+        cache_key = (
+            n_walkers, n_params, str(np.dtype(dtype)), move.signature(),
+            mesh_key,
+        )
         if not hasattr(self, "_scan_cache"):
             self._scan_cache = {}
 
@@ -502,15 +639,34 @@ class EnsembleSampler:
             comp = jax.lax.dynamic_slice_in_dim(positions, comp_slice, half, 0)
             lp_old = jax.lax.dynamic_slice_in_dim(log_probs, active_slice, half, 0)
 
-            kz, kc, ka = jr.split(key, 3)
-            u = jr.uniform(kz, (half,), dtype=active.dtype)
-            z = ((a - 1.0) * u + 1.0) ** 2 / a
-            comp_idx = jr.randint(kc, (half,), 0, half)
-            chosen = comp[comp_idx]
-            proposals = chosen + z[:, None] * (active - chosen)
+            if is_de:
+                kg, kia, kib, kn, ka = jr.split(key, 5)
+                ia = jr.randint(kia, (half,), 0, half)
+                # distinct second index: uniform over the other half-1
+                ib = (ia + 1 + jr.randint(kib, (half,), 0, half - 1)) % half
+                gamma = jnp.where(
+                    jr.uniform(kg, (half,), dtype=active.dtype) < gamma1_prob,
+                    jnp.asarray(1.0, active.dtype),
+                    jnp.asarray(gamma0, active.dtype),
+                )
+                proposals = (
+                    active
+                    + gamma[:, None] * (comp[ia] - comp[ib])
+                    + de_sigma * jr.normal(kn, active.shape, dtype=active.dtype)
+                )
+                lp_new = batched_log_prob(proposals)
+                # symmetric proposal: plain Metropolis ratio
+                log_ratio = lp_new - lp_old
+            else:
+                kz, kc, ka = jr.split(key, 3)
+                u = jr.uniform(kz, (half,), dtype=active.dtype)
+                z = ((a - 1.0) * u + 1.0) ** 2 / a
+                comp_idx = jr.randint(kc, (half,), 0, half)
+                chosen = comp[comp_idx]
+                proposals = chosen + z[:, None] * (active - chosen)
 
-            lp_new = batched_log_prob(proposals)
-            log_ratio = (n_params - 1.0) * jnp.log(z) + (lp_new - lp_old)
+                lp_new = batched_log_prob(proposals)
+                log_ratio = (n_params - 1.0) * jnp.log(z) + (lp_new - lp_old)
             accept = (
                 jnp.log(jr.uniform(ka, (half,), dtype=active.dtype)) < log_ratio
             ) & jnp.isfinite(lp_new)

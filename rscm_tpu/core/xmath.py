@@ -72,6 +72,15 @@ def _dispatch_accurate(name):
 
 
 exp = _dispatch_accurate("exp")
+#: Native-lowering exp (``jnp.exp`` when traced).  XLA's TPU exp carries
+#: ~5e-6 relative error (vs ~1e-7 for :data:`exp`) but is a single
+#: hardware-pipelined op instead of a ~25-op minimax polynomial.  Use it
+#: for physics whose own parametric uncertainty dwarfs 1e-5 — e.g. rate
+#: modifiers inside golden-free feedback modules — never for anything a
+#: golden-parity gate observes (forcing logs, carbonate chemistry).
+exp_fast = _dispatch("exp")
+tile = _dispatch("tile")
+repeat = _dispatch("repeat")
 log = _dispatch_accurate("log")
 log2 = _dispatch_accurate("log2")
 log10 = _dispatch_accurate("log10")

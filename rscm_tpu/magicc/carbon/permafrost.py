@@ -8,7 +8,9 @@ marked EXPERIMENTAL upstream).  This component implements that documented
 equation set TPU-first: the zonal-band dimension (default 50 bands) and
 the 12-month seasonal cycle are dense array axes — one year of the
 Fortran's 600-iteration band x month loop is a handful of elementwise ops
-on ``(n_bands, 12)`` arrays, vmappable over ensemble members.
+on one flat month-major ``(12 * n_bands,)`` axis (lane-dense on the TPU
+(8, 128) vector granule; see ``_monthly_climate``), vmappable over
+ensemble members.
 
 Physics (module_12 doc sections in parentheses):
 
@@ -222,23 +224,47 @@ class Permafrost(Component):
         )
 
     def _monthly_climate(self, t_summer_max):
-        """Moisture modifier and soil temperature per (band, month)."""
-        t_soil = t_summer_max[..., None] + self._seasonal_offsets(
-            like=t_summer_max
+        """Moisture modifier and soil temperature per (month, band).
+
+        Layout: ONE flat month-major axis of ``12 * n_bands`` (month m,
+        band b at index ``m*n + b``), not a trailing ``(band, 12)`` pair.
+        TPU vectors are (8 sublane, 128 lane) granules and XLA maps the
+        two minor axes onto them: a trailing month axis of 12 pads to 128
+        lanes (~11x wasted VPU work on every transcendental grid — this
+        module's dominant cost at ensemble scale), while the flat 600-lane
+        axis is ~94% dense and the month mean is 12 static band slices
+        (:meth:`_month_mean`).
+        """
+        n = int(self.n_bands)
+        t_soil = xm.tile(t_summer_max, 12) + xm.repeat(
+            self._seasonal_offsets(like=t_summer_max), n
         )
         w = xm.clip(
             self.soilwater_m * t_soil + self.soilwater_offset,
             self.soilwater_min,
             1.0,
         )
-        f_moist = (1.0 - xm.exp(-w)) / (1.0 - np.exp(-1.0))
+        # exp_fast: native TPU exp (~5e-6 rel error) — a rate modifier in
+        # a golden-free feedback module, far inside the parametric
+        # uncertainty; the accurate-math polynomial (~25 VPU ops) is for
+        # golden-gated physics (see xmath.exp_fast)
+        f_moist = (1.0 - xm.exp_fast(-w)) / (1.0 - np.exp(-1.0))
         return t_soil, f_moist
+
+    def _month_mean(self, flat):
+        """Annual mean over the flat month-major axis: 12 static band
+        slices summed — no (band, 12) relayout, stays lane-dense."""
+        n = int(self.n_bands)
+        out = flat[..., 0:n]
+        for m in range(1, 12):
+            out = out + flat[..., m * n : (m + 1) * n]
+        return out / 12.0
 
     def _q10(self, t_soil, alpha):
         """LPJ-style decomposition response (§2.6), guarded so the
         denominator stays positive for any anomaly."""
         denom = xm.maximum(t_soil + self.q10_temp2, 1.0)
-        return xm.exp(alpha * (1.0 / self.q10_temp1 - 1.0 / denom))
+        return xm.exp_fast(alpha * (1.0 / self.q10_temp1 - 1.0 / denom))
 
     @staticmethod
     def _memo_key(alpha):
@@ -257,8 +283,8 @@ class Permafrost(Component):
         if key not in cache:
             q10 = self._q10(t_soil, alpha)
             cache[key] = (
-                xm.mean(q10, axis=-1),
-                xm.mean(q10 * f_moist, axis=-1),
+                self._month_mean(q10),
+                self._month_mean(q10 * f_moist),
             )
         return cache[key]
 
@@ -309,7 +335,7 @@ class Permafrost(Component):
                 0.0,
                 p["anaerob_max"],
             )
-            f_anaerob = xm.mean(f_anaerob_monthly, axis=-1)
+            f_anaerob = self._month_mean(f_anaerob_monthly)
         f_aerob = 1.0 - f_anaerob
 
         # thaw / refreeze (§2.3, §7.2 STEP 7): signed area transfer,

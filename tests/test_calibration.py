@@ -293,6 +293,71 @@ class TestEnsembleSampler:
         assert r_hat["lambda0"] < 1.2
         assert flat[:, 0].std() < 0.05  # tight, well-mixed posterior
 
+    def test_device_sampler_de_move_recovers_parameter(self, compiled_runner):
+        """DE-move device engine samples the same posterior as stretch."""
+        from rscm_tpu.calibrate import DEMove
+
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        target = _make_target()
+        sampler = EnsembleSampler(
+            params, compiled_runner, GaussianLikelihood(), target,
+            move=DEMove(),
+        )
+        chain = sampler.run(
+            n_iterations=400, init=WalkerInit.from_prior(), thin=1, seed=7,
+            engine="device",
+        )
+        flat = chain.flat_samples(discard=200)
+        assert flat[:, 0].mean() == pytest.approx(TRUE_LAMBDA, abs=0.1)
+        assert chain.r_hat(discard=200)["lambda0"] < 1.2
+        assert flat[:, 0].std() < 0.05
+
+    def test_host_sampler_de_move_recovers_parameter(self, compiled_runner):
+        from rscm_tpu.calibrate import DEMove
+
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        target = _make_target()
+        sampler = EnsembleSampler(
+            params, compiled_runner, GaussianLikelihood(), target,
+        ).with_move(DEMove())
+        chain = sampler.run(
+            n_iterations=150, init=WalkerInit.from_prior(), thin=1, seed=3,
+            engine="host",
+        )
+        flat = chain.flat_samples(discard=75)
+        assert flat[:, 0].mean() == pytest.approx(TRUE_LAMBDA, abs=0.1)
+
+    def test_de_move_validation(self):
+        from rscm_tpu.calibrate import DEMove
+
+        with pytest.raises(ValueError):
+            DEMove(gamma1_prob=1.5)
+        with pytest.raises(ValueError):
+            DEMove(sigma=-1.0)
+        assert DEMove(gamma=0.7).resolve_gamma(8) == 0.7
+        assert DEMove().resolve_gamma(8) == pytest.approx(2.38 / np.sqrt(16.0))
+        with pytest.raises(TypeError):
+            EnsembleSampler(
+                ParameterSet().add("x", Uniform(0, 1)), None,
+                GaussianLikelihood(), Target(), move="de",
+            )
+
+    def test_gaussian_walker_init_clips_into_support(self):
+        params = (
+            ParameterSet()
+            .add("a", Uniform(0.0, 1.0))
+            .add("b", Uniform(-2.0, 2.0))
+        )
+        cov = np.array([[4.0, 0.5], [0.5, 4.0]])  # much wider than support
+        init = WalkerInit.gaussian([0.5, 0.0], cov)
+        rng = np.random.default_rng(0)
+        pos = init.initialize(64, params, rng)
+        assert pos.shape == (64, 2)
+        assert pos[:, 0].min() >= 0.0 and pos[:, 0].max() <= 1.0
+        assert pos[:, 1].min() >= -2.0 and pos[:, 1].max() <= 2.0
+        with pytest.raises(ValueError):
+            WalkerInit.gaussian([0.5], cov)
+
     def test_device_sampler_on_mesh_matches_single_device(self, compiled_runner):
         """Mesh-sharding the walker axis must not change the sampled chain:
         the same seed produces the same positions (the complement draws are
@@ -469,6 +534,31 @@ class TestPointEstimation:
         )
         result = estimator.optimize(AdamOptimizer(learning_rate=0.05, n_steps=80))
         assert result.best_params[0] == pytest.approx(TRUE_LAMBDA, abs=0.05)
+
+    def test_adam_dispatch_chunk_is_bitwise_identical(self, compiled_runner):
+        """The worker-fault fence (chunked step scan, nuts.py ladder)
+        threads the Adam carry through at the Python level — the iterate
+        sequence must be bit-for-bit the unchunked one."""
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        estimator = PointEstimator(
+            params, compiled_runner, GaussianLikelihood(), _make_target()
+        )
+        full = estimator.optimize(
+            AdamOptimizer(learning_rate=0.05, n_steps=20), x0=[1.0]
+        )
+        chunked = estimator.optimize(
+            AdamOptimizer(learning_rate=0.05, n_steps=20, dispatch_chunk=3),
+            x0=[1.0],
+        )
+        assert full.best_params == chunked.best_params
+        assert full.best_log_posterior == chunked.best_log_posterior
+
+    def test_adam_dispatch_chunk_validation(self, compiled_runner):
+        with pytest.raises(TypeError):
+            AdamOptimizer(dispatch_chunk=2.7)
+        with pytest.raises(ValueError):
+            AdamOptimizer(dispatch_chunk=0)
+        assert AdamOptimizer(dispatch_chunk=4.0).dispatch_chunk == 4
 
 
 class TestChain:
