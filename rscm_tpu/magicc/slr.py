@@ -68,14 +68,22 @@ _AIS_IRF = {
 }
 
 
+#: Saturating-exponential fit ``S(T) = a - b exp(-c T)`` through the
+#: documented anchor values (81.2 mm at 0 K, 96.6 mm at 0.1 K, 410.2 mm
+#: at 10.3 K) — the generator of the default equilibrium table AND the
+#: closed form the solver evaluates directly when no custom table is
+#: supplied (see :meth:`SeaLevelRise._solve_glaciers`).
+_GL_FIT_C = 0.473
+_GL_FIT_B = 15.4 / (1.0 - np.exp(-0.1 * _GL_FIT_C))
+_GL_FIT_A = _GL_FIT_B + 81.2
+_GL_FIT_TMAX = 10.3
+
+
 def _default_glacier_table():
-    """104-point equilibrium table (0..10.3 K in 0.1 steps) from a
-    saturating-exponential fit through the documented anchors."""
-    c = 0.473
-    b = 15.4 / (1.0 - np.exp(-0.1 * c))
-    a = b + 81.2
+    """104-point equilibrium table (0..10.3 K in 0.1 steps) from the
+    saturating-exponential fit."""
     temps = np.arange(104, dtype=np.float64) * 0.1
-    return temps, a - b * np.exp(-c * temps)
+    return temps, _GL_FIT_A - _GL_FIT_B * np.exp(-_GL_FIT_C * temps)
 
 
 class SeaLevelRise(Component):
@@ -281,12 +289,32 @@ class SeaLevelRise(Component):
     def _solve_glaciers(self, gl, t_global, active, dt):
         """Wigley-Raper rate vs the equilibrium tables (§3.2).  The
         Fortran's ``SIGN(|T - E|^exp, E)`` takes the *equilibrium
-        temperature's* sign — reproduced verbatim."""
-        tab_t, tab_s = self._glacier_table()
-        tab_t_x = xm.asarray(tab_t, like=t_global)
-        tab_s_x = xm.asarray(tab_s, like=t_global)
-        equi_slr = xm.interp(t_global, tab_t_x, tab_s_x)
-        equi_temp = xm.interp(gl, tab_s_x, tab_t_x)
+        temperature's* sign — reproduced verbatim.
+
+        With the default table the two lookups use the table's own
+        closed form ``S(T) = a - b exp(-c T)`` (and its log inverse),
+        clamped to the table range like ``np.interp`` would be.  This is
+        a TPU-critical fast path: a table ``interp`` is a binary-search
+        gather per member per year, measured at ~93% of the ENTIRE SLR
+        component's ensemble cost (410 of 440 ms at 10k x 250 yr on
+        v5e); the closed form is a handful of VPU ops and is the exact
+        function the default table discretises.  Custom
+        ``gl_equi_temp``/``gl_equi_slr`` tables keep the interp path.
+        """
+        if self.gl_equi_temp is None or self.gl_equi_slr is None:
+            a, b, c = _GL_FIT_A, _GL_FIT_B, _GL_FIT_C
+            t_clamped = xm.clip(t_global, 0.0, _GL_FIT_TMAX)
+            equi_slr = a - b * xm.exp_fast(-c * t_clamped)
+            # inverse: T(S) = -ln((a - S)/b)/c; S below S(0) maps to 0
+            # and S above S(Tmax) to Tmax, matching interp's clamping
+            arg = xm.maximum((a - gl) / b, 1e-30)
+            equi_temp = xm.clip(-xm.log(arg) / c, 0.0, _GL_FIT_TMAX)
+        else:
+            tab_t, tab_s = self._glacier_table()
+            tab_t_x = xm.asarray(tab_t, like=t_global)
+            tab_s_x = xm.asarray(tab_s, like=t_global)
+            equi_slr = xm.interp(t_global, tab_t_x, tab_s_x)
+            equi_temp = xm.interp(gl, tab_s_x, tab_t_x)
         volume_factor = (equi_slr - gl) / self.gl_norm_vol
         # Fortran SIGN(A, 0.0) is +|A| (sign of +0); numpy sign(0) is 0,
         # which would freeze the glaciers at the table edge where the
