@@ -512,6 +512,30 @@ class NUTSSampler:
 
     # -- public API -----------------------------------------------------------
 
+    def mass_from_covariance(self, theta, cov) -> np.ndarray:
+        """Diagonal x-space inverse mass from a theta-space covariance.
+
+        NUTS samples in the unconstrained space; a posterior covariance
+        estimated in theta space (e.g.
+        :meth:`PointEstimator.laplace_covariance
+        <rscm_tpu.calibrate.point_estimator.PointEstimator.laplace_covariance>`
+        at a MAP point) maps through the squared Jacobian of the
+        bounded->unconstrained transform at ``theta``.  Pass the result
+        as ``run(inv_mass=...)`` — starting warmup with posterior-scale
+        mass instead of prior-scale makes the very first trajectories
+        well-conditioned, which short warmups need (docs/calibration.md).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        _, to_x = self._build_transforms()
+        theta = np.asarray(theta, dtype=np.float64)
+        cov = np.asarray(cov, dtype=np.float64)
+        var_theta = np.diag(cov) if cov.ndim == 2 else cov
+        jac = np.asarray(jax.jacfwd(to_x)(jnp.asarray(theta)))
+        var_x = np.maximum(np.diag(jac) ** 2 * var_theta, 1e-12)
+        return 1.0 / var_x
+
     def run(
         self,
         n_iterations: int,
@@ -523,6 +547,7 @@ class NUTSSampler:
         step_size: float = 0.1,
         mesh=None,
         dispatch_chunk: Optional[int] = None,
+        inv_mass: Optional[np.ndarray] = None,
     ) -> Chain:
         """Sample ``n_iterations`` post-warmup draws per chain.
 
@@ -582,13 +607,27 @@ class NUTSSampler:
             theta, logj = to_theta(x)
             return base_logp(theta) + logj
 
-        # initial diagonal mass matrix from the prior scale (in x-space);
-        # refined mid-warmup from the chain's own samples (Welford window)
-        prior_draws = self.params.sample_random(256, rng)
-        with dev_ctx():
-            x_draws = np.asarray(jax.vmap(to_x)(jnp.asarray(prior_draws)))
-            prior_mass = np.maximum(np.var(x_draws, axis=0), 1e-12)
-            inv_mass0 = jnp.asarray(1.0 / prior_mass)
+        # initial diagonal mass matrix: caller-provided (x-space posterior
+        # variances, e.g. from mass_from_covariance on a Laplace fit — the
+        # production recipe, docs/calibration.md) or the prior scale in
+        # x-space; refined mid-warmup from the chain's own samples
+        # (Welford window)
+        if inv_mass is not None:
+            inv_mass = np.asarray(inv_mass, dtype=np.float64)
+            if inv_mass.shape != (D,):
+                raise ValueError(
+                    f"inv_mass must have shape ({D},), got {inv_mass.shape}"
+                )
+            if not np.all(np.isfinite(inv_mass)) or np.any(inv_mass <= 0.0):
+                raise ValueError("inv_mass entries must be finite and > 0")
+            with dev_ctx():
+                inv_mass0 = jnp.asarray(inv_mass)
+        else:
+            prior_draws = self.params.sample_random(256, rng)
+            with dev_ctx():
+                x_draws = np.asarray(jax.vmap(to_x)(jnp.asarray(prior_draws)))
+                prior_mass = np.maximum(np.var(x_draws, axis=0), 1e-12)
+                inv_mass0 = jnp.asarray(1.0 / prior_mass)
 
         total_iters = warmup + n_iterations
         # The jitted closures are cached across run() calls: re-tracing

@@ -227,6 +227,38 @@ class TestNUTS:
                 runner, GaussianLikelihood(), _make_target(),
             )
 
+    def test_laplace_mass_samples_same_posterior(self, runner_1d):
+        """Posterior-scale initial mass (mass_from_covariance) changes
+        warmup conditioning, not the stationary distribution."""
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        sampler = NUTSSampler(
+            params, runner_1d, GaussianLikelihood(), _make_target(),
+            max_tree_depth=6,
+        )
+        inv_mass = sampler.mass_from_covariance(
+            np.array([TRUE_LAMBDA]), np.array([[0.03 ** 2]])
+        )
+        assert inv_mass.shape == (1,) and inv_mass[0] > 0.0
+        chain = sampler.run(
+            n_iterations=150, n_chains=4, warmup=80, seed=9,
+            inv_mass=inv_mass,
+        )
+        flat = chain.flat_samples(discard=0)
+        assert flat[:, 0].mean() == pytest.approx(TRUE_LAMBDA, abs=0.05)
+        assert chain.r_hat()["lambda0"] < 1.1
+
+    def test_inv_mass_validated(self, runner_1d):
+        params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
+        sampler = NUTSSampler(
+            params, runner_1d, GaussianLikelihood(), _make_target()
+        )
+        with pytest.raises(ValueError):
+            sampler.run(n_iterations=2, n_chains=2, warmup=2, seed=0,
+                        inv_mass=np.array([1.0, 2.0]))
+        with pytest.raises(ValueError):
+            sampler.run(n_iterations=2, n_chains=2, warmup=2, seed=0,
+                        inv_mass=np.array([-1.0]))
+
     def test_init_positions_validated(self, runner_1d):
         params = ParameterSet().add("lambda0", Uniform(0.5, 2.5))
         sampler = NUTSSampler(
